@@ -1,0 +1,359 @@
+"""Contour extraction: filter boundary segments by overlay rule, walk the link graph
+exactly as the reference does, bind holes to hulls.
+
+Faithful re-derivation of the reference's extraction semantics:
+- inclusion filter per rule on the 4-bit SegmentFill (iOverlay/src/build/boolean.rs:156-285)
+  expressed as "TOP-side membership != BOTTOM-side membership";
+- contour walk (iOverlay/src/core/extract.rs:64-230): start at the first unvisited link
+  in (a,b) order, refine to the left-top link at its a-node
+  (iOverlay/src/core/extract.rs:400-470), classify hole vs hull via is_fill_top
+  (iOverlay/src/core/overlay_rule.rs:24-39), then walk with nearest-vector turns whose
+  rotation depends on hole/hull and output direction
+  (iOverlay/src/core/extract.rs:479-583, iOverlay/src/core/nearest_vector.rs) — this is
+  what merges region boundaries into self-touching contours at pinch nodes, matching the
+  golden fixtures;
+- hole binding via the left-bottom anchor and the nearest segment strictly below
+  (iOverlay/src/bind/solver.rs:25-236), resolved transitively with an exact PIP fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..options import ContourDirection, OverlayOptions, OverlayRule
+from .fill import CLIP_BOTTOM, CLIP_TOP, SUBJ_BOTTOM, SUBJ_TOP
+from .segments import Segments
+
+
+def rule_inside(subj_in: np.ndarray, clip_in: np.ndarray, rule: OverlayRule) -> np.ndarray:
+    """Region membership of the boolean result given per-operand membership."""
+    if rule == OverlayRule.SUBJECT:
+        return subj_in
+    if rule == OverlayRule.CLIP:
+        return clip_in
+    if rule == OverlayRule.INTERSECT:
+        return subj_in & clip_in
+    if rule == OverlayRule.UNION:
+        return subj_in | clip_in
+    if rule == OverlayRule.DIFFERENCE:
+        return subj_in & ~clip_in
+    if rule == OverlayRule.INVERSE_DIFFERENCE:
+        return clip_in & ~subj_in
+    if rule == OverlayRule.XOR:
+        return subj_in ^ clip_in
+    raise ValueError(rule)
+
+
+def boundary_mask(fills: np.ndarray, rule: OverlayRule) -> np.ndarray:
+    """A segment is a result boundary iff the result membership differs between its
+    TOP and BOTTOM sides — equivalent to the reference's per-rule inclusion filters."""
+    s_top = (fills & SUBJ_TOP) != 0
+    s_bot = (fills & SUBJ_BOTTOM) != 0
+    c_top = (fills & CLIP_TOP) != 0
+    c_bot = (fills & CLIP_BOTTOM) != 0
+    return rule_inside(s_top, c_top, rule) != rule_inside(s_bot, c_bot, rule)
+
+
+def is_fill_top(fill: int, rule: OverlayRule) -> bool:
+    """Is the region on the TOP side of this segment inside the result
+    (iOverlay/src/core/overlay_rule.rs:24-39)?"""
+    s_top = (fill & SUBJ_TOP) != 0
+    c_top = (fill & CLIP_TOP) != 0
+    return bool(rule_inside(np.bool_(s_top), np.bool_(c_top), rule))
+
+
+def _cross(ux, uy, vx, vy):
+    return ux * vy - uy * vx
+
+
+def _nearest_link(c, va, cands, clockwise: bool):
+    """NearestVector (iOverlay/src/core/nearest_vector.rs): among candidate links at
+    node c, the nearest to vector va by the given rotation. cands: [(ox, oy, link_id)]
+    with (ox, oy) = the candidate's other endpoint."""
+    rf = 1 if clockwise else -1
+    ox, oy, best = cands[0]
+    vbx, vby = ox - c[0], oy - c[1]
+    ab180 = _cross(va[0], va[1], vbx, vby) * rf >= 0
+    for ox, oy, lid in cands[1:]:
+        vpx, vpy = ox - c[0], oy - c[1]
+        ap180 = _cross(va[0], va[1], vpx, vpy) * rf >= 0
+        if ab180 == ap180:
+            if _cross(vpx, vpy, vbx, vby) * rf < 0:
+                vbx, vby, best = vpx, vpy, lid
+        elif ab180:
+            ab180 = False
+            vbx, vby, best = vpx, vpy, lid
+    return best
+
+
+class _LinkGraph:
+    """Boundary links + node incidence, mirroring OverlayGraph (nodes/links)."""
+
+    def __init__(self, pts_a, pts_b, fills):
+        self.a = pts_a  # list[(x, y)]
+        self.b = pts_b
+        self.fill = fills
+        self.m = len(pts_a)
+        node_ids: dict[tuple[int, int], int] = {}
+        incid: list[list[int]] = []
+        self.a_node = np.empty(self.m, dtype=np.int64)
+        self.b_node = np.empty(self.m, dtype=np.int64)
+        for e in range(self.m):
+            for end, arr in ((self.a[e], self.a_node), (self.b[e], self.b_node)):
+                nid = node_ids.get(end)
+                if nid is None:
+                    nid = len(node_ids)
+                    node_ids[end] = nid
+                    incid.append([])
+                arr[e] = nid
+                incid[nid].append(e)
+        self.incid = incid
+        self.node_pt = [None] * len(node_ids)
+        for pt, nid in node_ids.items():
+            self.node_pt[nid] = pt
+
+    def other(self, link: int, node: int) -> int:
+        return int(self.b_node[link]) if self.a_node[link] == node else int(self.a_node[link])
+
+    def other_pt(self, link: int, node: int):
+        return self.b[link] if self.a_node[link] == node else self.a[link]
+
+    def next_link(self, link: int, node: int, clockwise: bool, visited) -> int:
+        """Reference next_link (iOverlay/src/core/extract.rs:479-583)."""
+        cands = [i for i in self.incid[node] if not visited[i]]
+        if not cands:
+            return -1
+        if len(cands) == 1:
+            return cands[0]
+        c = self.node_pt[node]
+        # va = back along the incoming link
+        if self.a_node[link] == node:
+            apt = self.b[link]
+        else:
+            apt = self.a[link]
+        va = (apt[0] - c[0], apt[1] - c[1])
+        cl = [(self.other_pt(i, node)[0], self.other_pt(i, node)[1], i) for i in cands]
+        return _nearest_link(c, va, cl, clockwise)
+
+    def left_top_link(self, link: int, visited) -> int:
+        """Reference find_left_top_link (iOverlay/src/core/extract.rs:400-470): at the
+        start link's a-node, the unvisited link with the topmost direction."""
+        node = int(self.a_node[link])
+        top = link
+        ta = self.a[top]
+        tb = self.b[top]
+        for i in self.incid[node]:
+            if i == top:
+                continue
+            cb = self.b[i]
+            # skip if cb is clockwise of (ta -> tb)
+            if _cross(tb[0] - ta[0], tb[1] - ta[1], cb[0] - ta[0], cb[1] - ta[1]) < 0:
+                continue
+            if visited[i]:
+                continue
+            top = i
+            ta = self.a[top]
+            tb = self.b[top]
+        return top
+
+
+def walk_contours(
+    segs: Segments, fills: np.ndarray, rule: OverlayRule, clockwise_output: bool
+) -> list[tuple[list[tuple[int, int]], bool]]:
+    """Extract all contours for a rule. Returns [(ring_points, is_hole)]."""
+    mask = boundary_mask(fills, rule)
+    idx = np.flatnonzero(mask)
+    if len(idx) == 0:
+        return []
+    pts_a = [(int(segs.ax[i]), int(segs.ay[i])) for i in idx]
+    pts_b = [(int(segs.bx[i]), int(segs.by[i])) for i in idx]
+    bfills = [int(fills[i]) for i in idx]
+    g = _LinkGraph(pts_a, pts_b, bfills)
+
+    visited = np.zeros(g.m, dtype=bool)
+    out: list[tuple[list[tuple[int, int]], bool]] = []
+
+    for start in range(g.m):
+        if visited[start]:
+            continue
+        top = g.left_top_link(start, visited)
+        hole = is_fill_top(g.fill[top], rule)
+        d = hole == clockwise_output
+
+        if d:
+            ring = [g.b[top]]
+            node = int(g.a_node[top])
+            last_node = int(g.b_node[top])
+        else:
+            ring = [g.a[top]]
+            node = int(g.b_node[top])
+            last_node = int(g.a_node[top])
+        visited[top] = True
+
+        last_link = g.next_link(top, last_node, not d, visited)
+        link = top
+        if last_link < 0:
+            # isolated degenerate pair; nothing to close
+            out.append((ring, hole))
+            continue
+        guard = 4 * g.m + 8
+        while link != last_link and guard > 0:
+            guard -= 1
+            link = g.next_link(link, node, d, visited)
+            if link < 0:
+                break
+            ring.append(g.node_pt[node])
+            node = g.other(link, node)
+            visited[link] = True
+        out.append((ring, hole))
+    return out
+
+
+def ring_area2(pts) -> int:
+    """Signed shoelace *2 in exact Python ints (CCW positive)."""
+    n = len(pts)
+    s = 0
+    for i in range(n):
+        x0, y0 = int(pts[i][0]), int(pts[i][1])
+        x1, y1 = int(pts[(i + 1) % n][0]), int(pts[(i + 1) % n][1])
+        s += x0 * y1 - x1 * y0
+    return s
+
+
+def simplify_ring(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Drop repeated and collinear vertices (reference contour validation,
+    iOverlay/src/core/extract.rs:312-333)."""
+    changed = True
+    while changed:
+        changed = False
+        n = len(pts)
+        if n < 3:
+            return []
+        keep = []
+        for i in range(n):
+            p0 = pts[i - 1]
+            p1 = pts[i]
+            p2 = pts[(i + 1) % n]
+            if p1 == p0:
+                changed = True
+                continue
+            if _cross(p1[0] - p0[0], p1[1] - p0[1], p2[0] - p1[0], p2[1] - p1[1]) == 0:
+                # collinear (straight-through or spike) vertices are dropped
+                changed = True
+                continue
+            keep.append(p1)
+        pts = keep
+    return pts
+
+
+def _point_in_ring(x: int, y: int, ring) -> bool:
+    """Exact even-odd ray cast (downward ray, [ax, bx) convention)."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        ax, ay = int(ring[i][0]), int(ring[i][1])
+        bx, by = int(ring[(i + 1) % n][0]), int(ring[(i + 1) % n][1])
+        if ax > bx:
+            ax, ay, bx, by = bx, by, ax, ay
+        if ax <= x < bx:
+            if (by - ay) * (x - ax) < (y - ay) * (bx - ax):
+                inside = not inside
+    return inside
+
+
+def bind_holes(hulls: list, holes: list) -> list[list]:
+    """Assign each hole to its parent ring via the nearest segment strictly below the
+    hole's left-bottom anchor (reference ShapeBinder, iOverlay/src/bind/solver.rs:25-236),
+    resolving hole->hole transitively; PIP fallback."""
+    shapes = [[h] for h in hulls]
+    if not holes:
+        return shapes
+
+    seg_rows = []  # (ax, ay, bx, by, kind, ridx)
+    for kind, rings in ((0, hulls), (1, holes)):
+        for ridx, ring in enumerate(rings):
+            n = len(ring)
+            for i in range(n):
+                ax, ay = int(ring[i][0]), int(ring[i][1])
+                bx, by = int(ring[(i + 1) % n][0]), int(ring[(i + 1) % n][1])
+                if ax == bx:
+                    continue
+                if ax > bx:
+                    ax, ay, bx, by = bx, by, ax, ay
+                seg_rows.append((ax, ay, bx, by, kind, ridx))
+
+    anchors = []
+    for hidx, ring in enumerate(holes):
+        k = min(range(len(ring)), key=lambda i: (int(ring[i][0]), int(ring[i][1])))
+        anchors.append((int(ring[k][0]), int(ring[k][1]), hidx))
+
+    parent_of_hole: dict[int, tuple[int, int]] = {}
+    for x, y, hidx in anchors:
+        best = None
+        for ax, ay, bx, by, kind, ridx in seg_rows:
+            if kind == 1 and ridx == hidx:
+                continue
+            if not (ax <= x < bx):
+                continue
+            den = bx - ax
+            num = ay * den + (by - ay) * (x - ax)
+            if num >= y * den:
+                continue
+            if best is None or num * best[1] > best[0] * den:
+                best = (num, den, kind, ridx)
+        if best is not None:
+            parent_of_hole[hidx] = (best[2], best[3])
+
+    def hull_of(hidx, depth=0):
+        if depth > len(holes) + 1:
+            return None
+        p = parent_of_hole.get(hidx)
+        if p is None:
+            return None
+        kind, ridx = p
+        if kind == 0:
+            return ridx
+        return hull_of(ridx, depth + 1)
+
+    for x, y, hidx in anchors:
+        hull_idx = hull_of(hidx)
+        if hull_idx is None:
+            containing = [i for i, h in enumerate(hulls) if _point_in_ring(x, y, h)]
+            if not containing:
+                continue
+            hull_idx = min(containing, key=lambda i: abs(ring_area2(hulls[i])))
+        shapes[hull_idx].append(holes[hidx])
+    return shapes
+
+
+def extract_shapes(
+    segs: Segments,
+    fills: np.ndarray,
+    rule: OverlayRule,
+    options: OverlayOptions,
+) -> list[list[np.ndarray]]:
+    """Full extraction: boundary filter -> reference walk -> validate -> hole binding.
+
+    Returns shapes: list of [hull, hole, hole, ...] rings as (n,2) int64 arrays.
+    """
+    clockwise_output = options.output_direction == ContourDirection.CLOCKWISE
+    contours = walk_contours(segs, fills, rule, clockwise_output)
+
+    hulls: list[list[tuple[int, int]]] = []
+    holes: list[list[tuple[int, int]]] = []
+    min_area2 = 2 * options.min_output_area
+    for ring, hole in contours:
+        if not options.preserve_output_collinear:
+            ring = simplify_ring(list(ring))
+        if len(ring) < 3:
+            continue
+        a2 = ring_area2(ring)
+        if a2 == 0 or (min_area2 > 0 and abs(a2) < min_area2):
+            continue
+        if hole:
+            holes.append(ring)
+        else:
+            hulls.append(ring)
+
+    shapes = bind_holes(hulls, holes)
+    return [[np.array(ring, dtype=np.int64) for ring in shape] for shape in shapes]

@@ -1,0 +1,116 @@
+"""Winding classification ("fill") of an intersection-free segment set.
+
+Produces the reference's 4-bit SegmentFill per segment
+(iOverlay/src/segm/segment.rs:10-24): SUBJ_TOP/SUBJ_BOTTOM/CLIP_TOP/CLIP_BOTTOM =
+"is the region on the TOP/BOTTOM side of this segment inside subject/clip" under the
+fill rule. TOP/BOTTOM follow the reference sweep convention
+(iOverlay/src/build/sweep.rs:33-90, iOverlay/src/build/boolean.rs:96-154):
+for a non-vertical segment TOP is the region above; for a vertical segment
+(a.y < b.y) TOP is the region to the WEST (the sweep's clock-ordered start-point
+group puts the vertical segment last, so its "top" accumulator is the west side).
+
+Instead of a sequential sweep, each segment's bottom winding is evaluated directly by
+an exact integer ray-cast at the segment midpoint (valid because after splitting the
+winding is constant along every segment interior). This is embarrassingly parallel —
+the same formula the distributed x-strip pipeline uses (SURVEY.md A10).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..options import FillRule
+from .segments import Segments
+
+SUBJ_TOP = 1
+SUBJ_BOTTOM = 2
+CLIP_TOP = 4
+CLIP_BOTTOM = 8
+SUBJ_BOTH = SUBJ_TOP | SUBJ_BOTTOM
+CLIP_BOTH = CLIP_TOP | CLIP_BOTTOM
+BOTH_TOP = SUBJ_TOP | CLIP_TOP
+BOTH_BOTTOM = SUBJ_BOTTOM | CLIP_BOTTOM
+
+
+def _windings_below(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
+    """For each segment i: sum of winding counts of segments crossed by a downward ray
+    from just below the segment midpoint (non-vertical i), or just east of the segment
+    (vertical i). Exact integer math; falls back to Python-int (object) arrays when the
+    coordinate extent could overflow int64 products."""
+    n = len(segs)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy()
+    ax, ay, bx, by = segs.ax, segs.ay, segs.bx, segs.by
+    # translate to local origin to bound products
+    x0 = min(ax.min(), bx.min())
+    y0 = min(ay.min(), by.min())
+    tax, tay, tbx, tby = ax - x0, ay - y0, bx - x0, by - y0
+    extent = max(int(tbx.max()), int(tby.max()), int(tay.max()), 1)
+    use_object = 4 * extent * extent >= (1 << 62)
+    if use_object:
+        tax = tax.astype(object)
+        tay = tay.astype(object)
+        tbx = tbx.astype(object)
+        tby = tby.astype(object)
+
+    nonvert = tbx > tax
+    dt = tbx - tax  # valid only where nonvert
+    dy = tby - tay
+    Xi = tax + tbx  # doubled midpoint x; for vertical segments == 2*ax
+    Yi = tay + tby  # doubled midpoint y
+
+    subj = segs.subj
+    clip = segs.clip
+    wind_s = np.zeros(n, dtype=object if use_object else np.int64)
+    wind_c = np.zeros(n, dtype=object if use_object else np.int64)
+
+    # consider only non-vertical t as ray-crossing candidates
+    tidx = np.flatnonzero(nonvert)
+    if len(tidx) == 0:
+        return wind_s.astype(np.int64), wind_c.astype(np.int64)
+    t_ax = tax[tidx]
+    t_ay = tay[tidx]
+    t_bx = tbx[tidx]
+    t_dt = dt[tidx]
+    t_dy = dy[tidx]
+    t_subj = subj[tidx]
+    t_clip = clip[tidx]
+
+    chunk = max(1, int(4_000_000 // max(1, len(tidx))))
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        Xc = Xi[lo:hi, None]
+        Yc = Yi[lo:hi, None]
+        span = (2 * t_ax[None, :] <= Xc) & (Xc < 2 * t_bx[None, :])
+        # y_t(x*) < y*  <=>  2*ay_t*dt + dy_t*(X - 2*ax_t) < Y*dt   (dt > 0)
+        num = 2 * t_ay[None, :] * t_dt[None, :] + t_dy[None, :] * (Xc - 2 * t_ax[None, :])
+        below = num < Yc * t_dt[None, :]
+        m = span & below
+        wind_s[lo:hi] = (m * t_subj[None, :]).sum(axis=1)
+        wind_c[lo:hi] = (m * t_clip[None, :]).sum(axis=1)
+    return wind_s.astype(np.int64), wind_c.astype(np.int64)
+
+
+def _is_inside(w: np.ndarray, rule: FillRule) -> np.ndarray:
+    if rule == FillRule.EVEN_ODD:
+        return (w & 1) != 0
+    if rule == FillRule.NON_ZERO:
+        return w != 0
+    if rule == FillRule.POSITIVE:
+        return w > 0
+    return w < 0
+
+
+def compute_fills(segs: Segments, fill_rule: FillRule) -> np.ndarray:
+    """4-bit SegmentFill per segment (uint8)."""
+    bot_s, bot_c = _windings_below(segs)
+    top_s = bot_s + segs.subj
+    top_c = bot_c + segs.clip
+    fill = (
+        _is_inside(top_s, fill_rule).astype(np.uint8) * SUBJ_TOP
+        | _is_inside(bot_s, fill_rule).astype(np.uint8) * SUBJ_BOTTOM
+        | _is_inside(top_c, fill_rule).astype(np.uint8) * CLIP_TOP
+        | _is_inside(bot_c, fill_rule).astype(np.uint8) * CLIP_BOTTOM
+    )
+    return fill

@@ -1,0 +1,72 @@
+"""Single-pair overlay orchestration: the numpy kernel the Spark operators wrap.
+
+Pipeline per reference lifecycle (SURVEY.md §3.1 / iOverlay/src/core/overlay.rs:354-372):
+ingest -> sort+merge -> snap-rounded split fixpoint -> winding fill -> per-rule
+boundary filter + face extraction + hole binding.
+
+`OverlayGraph` mirrors `build_graph_view` (iOverlay/src/core/overlay.rs:303-313):
+split + fill computed once, N cheap extracts reuse them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..options import DEFAULT_OPTIONS, FillRule, OverlayOptions, OverlayRule
+from .extract import extract_shapes
+from .fill import compute_fills
+from .segments import Segments, build_segments, sort_and_merge
+from .split import split_segments
+
+Shapes = list[list[np.ndarray]]  # shapes -> rings (hull first) -> (n,2) int64
+
+
+@dataclass
+class OverlayGraph:
+    segments: Segments
+    fills: np.ndarray
+    options: OverlayOptions
+
+    def extract(self, rule: OverlayRule) -> Shapes:
+        return extract_shapes(self.segments, self.fills, rule, self.options)
+
+
+def build_graph(
+    subj: list[np.ndarray],
+    clip: list[np.ndarray],
+    fill_rule: FillRule = FillRule.EVEN_ODD,
+    options: OverlayOptions = DEFAULT_OPTIONS,
+) -> OverlayGraph:
+    segs = Segments.concat(
+        [
+            build_segments(subj, True, options.preserve_input_collinear),
+            build_segments(clip, False, options.preserve_input_collinear),
+        ]
+    )
+    segs = sort_and_merge(segs)
+    segs = split_segments(segs)
+    fills = compute_fills(segs, fill_rule)
+    return OverlayGraph(segs, fills, options)
+
+
+def overlay(
+    subj: list[np.ndarray],
+    clip: list[np.ndarray],
+    rule: OverlayRule,
+    fill_rule: FillRule = FillRule.EVEN_ODD,
+    options: OverlayOptions = DEFAULT_OPTIONS,
+) -> Shapes:
+    """One-shot boolean overlay of two multipolygons (integer coordinates)."""
+    return build_graph(subj, clip, fill_rule, options).extract(rule)
+
+
+def simplify(
+    shapes: list[np.ndarray],
+    fill_rule: FillRule = FillRule.NON_ZERO,
+    options: OverlayOptions = DEFAULT_OPTIONS,
+) -> Shapes:
+    """Self-union: resolve self-intersections of one multipolygon
+    (reference Simplify, iOverlay/src/core/simplify.rs:23-426)."""
+    return overlay(shapes, [], OverlayRule.SUBJECT, fill_rule, options)

@@ -1,0 +1,257 @@
+"""Self-intersection resolution: snap-rounded segment splitting to a fixpoint.
+
+Semantics match the reference split stage:
+- pair classification & exact integer intersection with round-half-away-from-zero
+  (iOverlay/src/split/cross_solver.rs:76-311),
+- snap-to-near-endpoint within a growing radius 2^(start + k*step), capped at 2^60
+  (iOverlay/src/split/snap_radius.rs:5-27),
+- mark application: sort marks along the segment, dedupe, split into sub-segments,
+  re-sort + re-merge (iOverlay/src/split/solver.rs:158-302),
+- repeat rounds while any intersection required rounding
+  (iOverlay/src/split/solver_list.rs:27-64).
+
+Candidate-pair generation is vectorized (x-sweep + bbox masks). Exact math runs on
+Python ints per candidate pair — candidate counts are small after pruning. At Spark
+scale this same kernel runs per grid cell inside applyInPandas (SURVEY.md A6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .segments import Segments, sort_and_merge
+
+
+def _orient(ax, ay, bx, by, cx, cy) -> int:
+    """sign of cross(b-a, c-a); +1 = c is left (CCW) of a->b."""
+    v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    return (v > 0) - (v < 0)
+
+
+def _cross_point(t, o):
+    """Exact integer intersection of two properly-crossing segments, reference rounding
+    (iOverlay/src/split/cross_solver.rs:218-311): translate by t.a, axis-aligned special
+    cases use truncating division, general case rounds half away from zero on magnitudes.
+    Returns (x, y, exact: bool)."""
+    tax, tay, tbx, tby = t
+    oax, oay, obx, oby = o
+    a1x = tbx - tax
+    b0x = oax - tax
+    b1x = obx - tax
+    a1y = tby - tay
+    b0y = oay - tay
+    b1y = oby - tay
+
+    dy_b = b0y - b1y
+    dx_b = b0x - b1x
+    xy_b = b0x * b1y - b0y * b1x
+
+    if a1x == 0:
+        x0 = 0
+        n, d = xy_b, dx_b
+        q = abs(n) // abs(d)
+        y0 = q if (n >= 0) == (d >= 0) else -q
+        exact = (abs(n) % abs(d)) == 0
+    elif a1y == 0:
+        y0 = 0
+        n, d = -xy_b, dy_b
+        q = abs(n) // abs(d)
+        x0 = q if (n >= 0) == (d >= 0) else -q
+        exact = (abs(n) % abs(d)) == 0
+    else:
+        div = a1y * dx_b - a1x * dy_b
+        s = (1 if div > 0 else -1) * (1 if xy_b > 0 else (-1 if xy_b < 0 else 0))
+        sx = (1 if a1x > 0 else -1) * s
+        sy = (1 if a1y > 0 else -1) * s
+        uxy_b = abs(xy_b)
+        udiv = abs(div)
+        kx = abs(a1x) * uxy_b
+        ky = abs(a1y) * uxy_b
+        # divide with rounding (round half up on magnitudes)
+        ux = (kx + (udiv >> 1)) // udiv
+        uy = (ky + (udiv >> 1)) // udiv
+        x0 = sx * ux
+        y0 = sy * uy
+        exact = (kx % udiv) == 0 and (ky % udiv) == 0
+    return x0 + tax, y0 + tay, exact
+
+
+def _on_line(ax, ay, bx, by, px, py) -> bool:
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax) == 0
+
+
+def _sqr_dist(ax, ay, bx, by) -> int:
+    return (ax - bx) ** 2 + (ay - by) ** 2
+
+
+def cross_pair(ti, tj, radius):
+    """Classify a candidate pair. Returns (marks, is_round) where marks is a list of
+    (which, x, y) with which in {0 (target/i), 1 (other/j)}.
+
+    Mirrors CrossSolver::cross + SplitSolver::cross mark routing
+    (iOverlay/src/split/cross_solver.rs:76-216, iOverlay/src/split/solver.rs:85-158)."""
+    tax, tay, tbx, tby = ti
+    oax, oay, obx, oby = tj
+    o1 = _orient(tax, tay, tbx, tby, oax, oay)  # a0b0a1
+    o2 = _orient(tax, tay, tbx, tby, obx, oby)  # a0b0b1
+    o3 = _orient(oax, oay, obx, oby, tax, tay)  # a1b1a0
+    o4 = _orient(oax, oay, obx, oby, tbx, tby)  # a1b1b0
+    s = (o1 == 0) + (o2 == 0) + (o3 == 0) + (o4 == 0)
+
+    if s == 4:
+        # collinear overlay: mark each segment at the other's strictly-interior endpoints
+        marks = []
+        # endpoint strictly inside test via lexicographic betweenness (segments a<b lex)
+        def inside(px, py, ax, ay, bx, by):
+            lo = (ax, ay) < (px, py)
+            hi = (px, py) < (bx, by)
+            return lo and hi
+
+        if inside(tax, tay, oax, oay, obx, oby):
+            marks.append((1, tax, tay))
+        if inside(tbx, tby, oax, oay, obx, oby):
+            marks.append((1, tbx, tby))
+        if inside(oax, oay, tax, tay, tbx, tby):
+            marks.append((0, oax, oay))
+        if inside(obx, oby, tax, tay, tbx, tby):
+            marks.append((0, obx, oby))
+        return marks, False
+
+    if s > 1 or o1 == o2 or o3 == o4:
+        return [], False
+
+    if s == 1:
+        # T-junction: one endpoint lies on the other segment's interior
+        if o1 == 0:
+            return [(0, oax, oay)], False
+        if o2 == 0:
+            return [(0, obx, oby)], False
+        if o3 == 0:
+            return [(1, tax, tay)], False
+        return [(1, tbx, tby)], False
+
+    # proper middle cross
+    px, py, exact = _cross_point(ti, tj)
+    if exact and _on_line(tax, tay, tbx, tby, px, py) and _on_line(oax, oay, obx, oby, px, py):
+        return [(0, px, py), (1, px, py)], False
+
+    # rounded: snap to nearest endpoint within radius (r >= 2 covers 1^2+1^2)
+    ra0 = _sqr_dist(tax, tay, px, py)
+    rb0 = _sqr_dist(tbx, tby, px, py)
+    ra1 = _sqr_dist(oax, oay, px, py)
+    rb1 = _sqr_dist(obx, oby, px, py)
+    if min(ra0, rb0, ra1, rb1) <= radius:
+        r0 = min(ra0, rb0)
+        r1 = min(ra1, rb1)
+        if r0 <= r1:
+            qx, qy = (tax, tay) if ra0 < rb0 else (tbx, tby)
+            if not _on_line(oax, oay, obx, oby, qx, qy):
+                return [(1, qx, qy)], True
+        else:
+            qx, qy = (oax, oay) if ra1 < rb1 else (obx, oby)
+            if not _on_line(tax, tay, tbx, tby, qx, qy):
+                return [(0, qx, qy)], True
+    return [(0, px, py), (1, px, py)], True
+
+
+def _candidate_pairs(segs: Segments) -> np.ndarray:
+    """All index pairs (i<j) with overlapping bounding boxes.
+
+    x-sweep pruning mirrors the reference list-split break on xj.a.x > xi.b.x
+    (iOverlay/src/split/solver_list.rs:36-44); y-range masks vectorized.
+    Precondition: segs sorted by (a, b)."""
+    n = len(segs)
+    if n < 2:
+        return np.empty((0, 2), dtype=np.int64)
+    ax, bx = segs.ax, segs.bx
+    ymin = np.minimum(segs.ay, segs.by)
+    ymax = np.maximum(segs.ay, segs.by)
+    out = []
+    # for each i, js in (i, hi) where ax[j] <= bx[i]
+    his = np.searchsorted(ax, bx, side="right")
+    for i in range(n - 1):
+        hi = his[i]
+        if hi <= i + 1:
+            continue
+        j = np.arange(i + 1, hi)
+        m = (ymin[j] <= ymax[i]) & (ymax[j] >= ymin[i])
+        j = j[m]
+        if len(j):
+            out.append(np.stack([np.full(len(j), i, dtype=np.int64), j], axis=1))
+    if not out:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.concatenate(out, axis=0)
+
+
+def _apply_marks(segs: Segments, marks: list[tuple[int, int, int]]) -> Segments:
+    """Split segments at their marks; sub-marks ordered along the segment
+    (iOverlay/src/split/solver.rs:158-302). Degenerate sub-segments dropped."""
+    by_seg: dict[int, set[tuple[int, int]]] = {}
+    for idx, x, y in marks:
+        by_seg.setdefault(idx, set()).add((x, y))
+
+    keep_mask = np.ones(len(segs), dtype=bool)
+    new_rows = []  # (ax, ay, bx, by, subj, clip)
+    for idx, pts in by_seg.items():
+        keep_mask[idx] = False
+        a = (int(segs.ax[idx]), int(segs.ay[idx]))
+        b = (int(segs.bx[idx]), int(segs.by[idx]))
+        subj = int(segs.subj[idx])
+        clip = int(segs.clip[idx])
+        # order along the segment: x ascending, y toward b at equal x
+        ysign = 1 if b[1] >= a[1] else -1
+        chain = sorted(pts - {a, b}, key=lambda p: (p[0], ysign * p[1]))
+        prev = a
+        for p in chain + [b]:
+            if p == prev:
+                continue
+            pa, pb = (prev, p) if prev < p else (p, prev)
+            cnt_fwd = prev < p
+            # re-normalize: original direction a->b is "forward"; sub-segment prev->p
+            # keeps the original count if still forward after a<b normalization,
+            # else count negates (same rule as ingest normalization).
+            if cnt_fwd:
+                new_rows.append((pa[0], pa[1], pb[0], pb[1], subj, clip))
+            else:
+                new_rows.append((pa[0], pa[1], pb[0], pb[1], -subj, -clip))
+            prev = p
+
+    base = segs.take(np.flatnonzero(keep_mask))
+    if not new_rows:
+        return base
+    arr = np.array(new_rows, dtype=np.int64)
+    extra = Segments(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4], arr[:, 5])
+    return Segments.concat([base, extra])
+
+
+def split_segments(segs: Segments, start: int = 0, step: int = 1, max_rounds: int = 64) -> Segments:
+    """Run the snap-radius fixpoint loop to an intersection-free merged segment set.
+
+    Radius progression 2^(start + k*step) capped at 2^60, matching Precision::HIGH
+    defaults (iOverlay/src/core/solver.rs:47-51, iOverlay/src/split/snap_radius.rs)."""
+    segs = sort_and_merge(segs)
+    exp = start
+    for _ in range(max_rounds):
+        if len(segs) < 2:
+            return segs
+        radius = 1 << exp
+        pairs = _candidate_pairs(segs)
+        marks: list[tuple[int, int, int]] = []
+        need_fix = False
+        seg_rows = np.stack([segs.ax, segs.ay, segs.bx, segs.by], axis=1)
+        for i, j in pairs:
+            pm, rnd = cross_pair(
+                tuple(int(v) for v in seg_rows[i]),
+                tuple(int(v) for v in seg_rows[j]),
+                radius,
+            )
+            need_fix = need_fix or rnd
+            for which, x, y in pm:
+                marks.append((int(i) if which == 0 else int(j), x, y))
+        if not marks:
+            return segs
+        segs = sort_and_merge(_apply_marks(segs, marks))
+        exp = min(60, exp + step)
+        if not need_fix:
+            return segs
+    return segs

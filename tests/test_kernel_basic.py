@@ -1,0 +1,111 @@
+"""Kernel unit + property tests (mirrors the reference's inline unit suites,
+iOverlay/src/segm/build.rs:148-434, iOverlay/src/split/cross_solver.rs:314-409)."""
+
+import numpy as np
+import pytest
+
+from ioverlay_spark.kernel import (
+    build_graph,
+    build_segments,
+    overlay,
+    ring_area2,
+    simplify,
+    sort_and_merge,
+    split_segments,
+)
+from ioverlay_spark.options import FillRule, OverlayOptions, OverlayRule
+
+
+def sq(x0, y0, s):
+    return np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], dtype=np.int64)
+
+
+def shapes_area2(shapes):
+    # hull area + hole areas (holes have opposite sign)
+    return sum(ring_area2(ring) for shape in shapes for ring in shape)
+
+
+class TestSegments:
+    def test_build_counts(self):
+        segs = build_segments([sq(0, 0, 10)], True)
+        assert len(segs) == 4
+        # CCW square: bottom edge is left-to-right => +1
+        assert set(segs.subj.tolist()) == {1, -1}
+        assert segs.clip.tolist() == [0, 0, 0, 0]
+
+    def test_degenerate_contour_dropped(self):
+        segs = build_segments([np.array([[0, 0], [5, 0], [10, 0]])], True)
+        segs = sort_and_merge(segs)
+        assert len(segs) == 0
+
+    def test_merge_opposite_cancels(self):
+        a = build_segments([sq(0, 0, 10)], True)
+        b = build_segments([sq(0, 0, 10)[::-1]], True)  # reversed ring cancels
+        merged = sort_and_merge(type(a).concat([a, b]))
+        assert len(merged) == 0
+
+
+class TestSplit:
+    def test_crossing_squares_split(self):
+        segs = sort_and_merge(
+            type(build_segments([], True)).concat(
+                [build_segments([sq(0, 0, 10)], True), build_segments([sq(5, 5, 10)], False)]
+            )
+        )
+        out = split_segments(segs)
+        # 2 crossings add 2 segments each
+        assert len(out) == 12
+
+    def test_exact_midpoint_cross(self):
+        # X crossing at integer point
+        a = np.array([[0, 0], [10, 10], [0, 10], [10, 0]])
+        res = simplify([a], FillRule.NON_ZERO)
+        assert len(res) > 0
+
+
+class TestOverlayBasics:
+    def test_disjoint(self):
+        res = overlay([sq(0, 0, 4)], [sq(100, 100, 4)], OverlayRule.INTERSECT)
+        assert res == []
+        res = overlay([sq(0, 0, 4)], [sq(100, 100, 4)], OverlayRule.UNION)
+        assert len(res) == 2
+
+    def test_identical(self):
+        res = overlay([sq(0, 0, 8)], [sq(0, 0, 8)], OverlayRule.XOR)
+        assert res == []
+        res = overlay([sq(0, 0, 8)], [sq(0, 0, 8)], OverlayRule.INTERSECT)
+        assert shapes_area2(res) == 2 * 64
+
+    def test_hole_created(self):
+        res = overlay([sq(0, 0, 100)], [sq(25, 25, 50)], OverlayRule.DIFFERENCE)
+        assert len(res) == 1
+        assert len(res[0]) == 2  # hull + hole
+        assert shapes_area2(res) == 2 * (100 * 100 - 50 * 50)
+
+    def test_empty_subject(self):
+        assert overlay([], [sq(0, 0, 4)], OverlayRule.INTERSECT) == []
+        assert shapes_area2(overlay([], [sq(0, 0, 4)], OverlayRule.UNION)) == 2 * 16
+
+    @pytest.mark.parametrize("fill", list(FillRule))
+    def test_area_identities(self, fill):
+        subj = [sq(0, 0, 60), sq(30, 30, 60)]
+        clip = [sq(15, 15, 60)]
+        g = build_graph(subj, clip, fill)
+        a = {r: shapes_area2(g.extract(r)) for r in OverlayRule}
+        assert a[OverlayRule.UNION] == a[OverlayRule.INTERSECT] + a[OverlayRule.XOR]
+        assert a[OverlayRule.SUBJECT] == a[OverlayRule.DIFFERENCE] + a[OverlayRule.INTERSECT]
+        assert a[OverlayRule.CLIP] == a[OverlayRule.INVERSE_DIFFERENCE] + a[OverlayRule.INTERSECT]
+        assert a[OverlayRule.XOR] == a[OverlayRule.DIFFERENCE] + a[OverlayRule.INVERSE_DIFFERENCE]
+
+    def test_self_intersecting_simplify(self):
+        # bowtie resolves into two triangles under even-odd
+        bow = np.array([[0, 0], [10, 10], [10, 0], [0, 10]])
+        res = simplify([bow], FillRule.EVEN_ODD)
+        assert shapes_area2(res) == 2 * 50  # two triangles, 25 each
+
+
+class TestBigCoordinates:
+    def test_large_coords_exact(self):
+        s = 1 << 29
+        res = overlay([sq(-s, -s, 2 * s)], [sq(0, 0, 2 * s)], OverlayRule.INTERSECT)
+        assert shapes_area2(res) == 2 * s * s
