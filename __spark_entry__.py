@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()    — flagship: general polygon overlay (hexagon subject x rect clip per doc)
+             through the distributed kernel at sf0.001.
+queries()  — one entry per implemented operator (SURVEY.md §2 + north-rule additions),
+             each (spark, sf_dir) -> DataFrame.
+oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query (exact
+             value parity; generated from the same expression templates).
 """
 
 from __future__ import annotations
@@ -15,24 +16,69 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: boolean overlay (intersect/union/xor)
+    of per-document hexagon subjects vs shifted rect clips, run pair-parallel through
+    the exact kernel; returns the shapes_out DataFrame."""
+    from pyspark.sql import functions as F
+
+    from ioverlay_spark.operators.overlay_df import overlay_pairs
+    from ioverlay_spark.queries import _clip_rect_exprs, _hex_pts
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _hex_pts("spark")
+    rc = _clip_rect_exprs("doc_id", "spark")
+
+    def ring_sql(points: list[tuple[str, str]]) -> tuple[str, str]:
+        xs = ", ".join(f"CAST({x} AS BIGINT)" for x, _ in points)
+        ys = ", ".join(f"CAST({y} AS BIGINT)" for _, y in points)
+        return f"array({xs})", f"array({ys})"
+
+    hex_pts = [
+        (p["x1"], p["y1"]),
+        (p["x2"], p["y1"]),
+        (p["x2"], p["ym"]),
+        (p["xm"], p["ym"]),
+        (p["xm"], p["y2"]),
+        (p["x1"], p["y2"]),
+    ]
+    rect_pts = [
+        (rc["x1"], rc["y1"]),
+        (rc["x2"], rc["y1"]),
+        (rc["x2"], rc["y2"]),
+        (rc["x1"], rc["y2"]),
+    ]
+    sx, sy = ring_sql(hex_pts)
+    cx, cy = ring_sql(rect_pts)
+    subj = docs.selectExpr(
+        "CAST(doc_id AS BIGINT) AS pair_id",
+        "'subject' AS role",
+        "CAST(0 AS BIGINT) AS shape_id",
+        "CAST(0 AS INT) AS contour_idx",
+        f"{sx} AS pts_x",
+        f"{sy} AS pts_y",
+    )
+    clip = docs.selectExpr(
+        "CAST(doc_id AS BIGINT) AS pair_id",
+        "'clip' AS role",
+        "CAST(0 AS BIGINT) AS shape_id",
+        "CAST(0 AS INT) AS contour_idx",
+        f"{cx} AS pts_x",
+        f"{cy} AS pts_y",
+    )
+    shapes = overlay_pairs(subj.unionAll(clip), rules=["intersect", "union", "xor"])
+    return shapes.select(
+        "pair_id", "rule", "shape_id", "contour_idx", "pts_x", "pts_y", "area2"
+    ).orderBy("pair_id", "rule", "shape_id", "contour_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ioverlay_spark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ioverlay_spark.queries import REGISTRY
+
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

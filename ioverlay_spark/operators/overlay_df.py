@@ -1,0 +1,154 @@
+"""Job-parallel boolean overlay over a DataFrame of geometry jobs.
+
+This is the engine's workhorse usage model (SURVEY.md §1.3 "batch of overlay jobs"):
+one row per (pair_id, role, shape_id, contour_idx) holding a contour as two Arrow list
+columns (pts_x, pts_y); `overlay_pairs` shuffles by pair_id and runs the exact numpy
+kernel per pair inside a grouped-map pandas UDF (Arrow batches, no per-row Python).
+
+At 100 TB scale each pair is one polygon-overlay job (page geometries vs a clip layer);
+pairs are independent, so the only shuffle is the groupBy(pair_id) hash partition and
+the kernel parallelism is the number of shuffle partitions — AQE coalesces small
+partitions, and skewed pairs are bounded by input geometry size, not data volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel import build_graph, ring_area2
+from ..options import DEFAULT_OPTIONS, FillRule, OverlayOptions, OverlayRule
+
+GEOMS_SCHEMA = StructType(
+    [
+        StructField("pair_id", LongType()),
+        StructField("role", StringType()),
+        StructField("shape_id", LongType()),
+        StructField("contour_idx", IntegerType()),
+        StructField("pts_x", ArrayType(LongType())),
+        StructField("pts_y", ArrayType(LongType())),
+    ]
+)
+
+SHAPES_OUT_SCHEMA = StructType(
+    [
+        StructField("pair_id", LongType()),
+        StructField("rule", StringType()),
+        StructField("shape_id", LongType()),
+        StructField("contour_idx", IntegerType()),
+        StructField("pts_x", ArrayType(LongType())),
+        StructField("pts_y", ArrayType(LongType())),
+        StructField("area2", LongType()),
+    ]
+)
+
+
+def _overlay_kernel_factory(rules, fill_rule, options):
+    rules = [OverlayRule(r) for r in rules]
+    fill_rule = FillRule(fill_rule)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One call per BUCKET of pairs: iterate pairs inside the Arrow batch so the
+        per-group pandas overhead amortizes over many small jobs."""
+        out_pair, out_rule, out_sid, out_cid, out_x, out_y, out_a2 = [], [], [], [], [], [], []
+        order = np.argsort(pdf["pair_id"].to_numpy(), kind="stable")
+        pid_arr = pdf["pair_id"].to_numpy()[order]
+        role_arr = pdf["role"].to_numpy()[order]
+        xs_arr = pdf["pts_x"].to_numpy()[order]
+        ys_arr = pdf["pts_y"].to_numpy()[order]
+        n = len(pid_arr)
+        i = 0
+        while i < n:
+            pair_id = int(pid_arr[i])
+            subj, clip = [], []
+            while i < n and pid_arr[i] == pair_id:
+                ring = np.stack(
+                    [
+                        np.asarray(xs_arr[i], dtype=np.int64),
+                        np.asarray(ys_arr[i], dtype=np.int64),
+                    ],
+                    axis=1,
+                )
+                (subj if role_arr[i] == "subject" else clip).append(ring)
+                i += 1
+            graph = build_graph(subj, clip, fill_rule, options)
+            for rule in rules:
+                for sid, shape in enumerate(graph.extract(rule)):
+                    for cid, ring in enumerate(shape):
+                        out_pair.append(pair_id)
+                        out_rule.append(rule.value)
+                        out_sid.append(sid)
+                        out_cid.append(cid)
+                        out_x.append(ring[:, 0].tolist())
+                        out_y.append(ring[:, 1].tolist())
+                        out_a2.append(ring_area2(ring))
+        return pd.DataFrame(
+            {
+                "pair_id": pd.Series(out_pair, dtype="int64"),
+                "rule": pd.Series(out_rule, dtype="object"),
+                "shape_id": pd.Series(out_sid, dtype="int64"),
+                "contour_idx": pd.Series(out_cid, dtype="int32"),
+                "pts_x": pd.Series(out_x, dtype="object"),
+                "pts_y": pd.Series(out_y, dtype="object"),
+                "area2": pd.Series(out_a2, dtype="int64"),
+            }
+        )
+
+    return run
+
+
+def overlay_pairs(
+    geoms: DataFrame,
+    rules: list[str | OverlayRule],
+    fill_rule: str | FillRule = FillRule.EVEN_ODD,
+    options: OverlayOptions = DEFAULT_OPTIONS,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Run boolean overlay per pair_id; returns the shapes_out DataFrame.
+
+    Reference analog: Overlay::overlay / build_graph_view + extract per rule
+    (iOverlay/src/core/overlay.rs:303-372) — the graph is built once per pair and
+    all requested rules extract from it.
+
+    Pairs are hashed into `buckets` groups (default 8x shuffle parallelism) so each
+    applyInPandas call processes a batch of pairs — per-call overhead amortizes while
+    the shuffle stays a single hash partition on the bucket key. Results are
+    bucket-order independent (each pair computed in isolation).
+    """
+    if buckets is None:
+        try:
+            buckets = 8 * int(geoms.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            buckets = 256
+    kernel = _overlay_kernel_factory(
+        [OverlayRule(r).value for r in rules], FillRule(fill_rule).value, options
+    )
+    bucketed = geoms.withColumn("_bucket", F.pmod(F.hash("pair_id"), F.lit(buckets)))
+    # explicit numPartitions repartition: AQE must NOT coalesce this shuffle — the
+    # stage is CPU-bound in the Python kernel, and byte-size-based coalescing would
+    # serialize it into a single task (observed: 128 buckets -> 1 worker).
+    n_part = max(2, buckets // 8)
+    return (
+        bucketed.repartition(n_part, "_bucket")
+        .groupBy("_bucket")
+        .applyInPandas(kernel, schema=SHAPES_OUT_SCHEMA)
+    )
+
+
+def contours_to_geoms_rows(pair_id, role, contours) -> list[tuple]:
+    """Helper: python-side construction of geoms rows from (n,2) arrays."""
+    rows = []
+    for i, ring in enumerate(contours):
+        ring = np.asarray(ring, dtype=np.int64)
+        rows.append((pair_id, role, 0, i, ring[:, 0].tolist(), ring[:, 1].tolist()))
+    return rows

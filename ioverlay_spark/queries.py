@@ -1,0 +1,660 @@
+"""Driver-contract queries and their DuckDB oracles.
+
+Every operator exposed in __spark_entry__.queries() is defined here as a QuerySpec:
+a Spark builder (DataFrame API / Spark SQL) plus, where SQL-expressible, a DuckDB
+oracle generated from the SAME expression templates (ioverlay_spark.functions.exprgen)
+so values match exactly. Geometry inputs derive deterministically from the driver's
+`documents` table (seed-free pure bigint arithmetic — no external data).
+
+Scale notes (the point of the exercise): every Spark side is either pure Column
+expressions (whole-stage codegen; predicate pushdown reaches the parquet scan) or an
+Arrow-batched pandas UDF over a key-partitioned shuffle. No driver-side collects in
+the data path; the one metadata count() used to size a modular pairing is O(1) I/O.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.exprgen import cell_expr, cell_xy_exprs, morton_from_cxcy, point_exprs, rect_exprs
+from .sources.pages import extract_text, pages_from_documents, url_sql
+
+# ---------------------------------------------------------------------------------
+# helpers
+
+
+def _tbl(dialect: str, sf_dir: str, name: str) -> str:
+    if dialect == "spark":
+        return f"parquet.`{sf_dir}/{name}.parquet`"
+    return name  # driver pre-registers DuckDB views by table name
+
+
+def _hex_pts(dialect: str) -> dict[str, str]:
+    """L-shaped hexagon derived per doc: (x1,y1) (x2,y1) (x2,ym) (xm,ym) (xm,y2) (x1,y2).
+
+    CCW ring with a notch at the top-right — 6 points, mixes horizontal+vertical edges."""
+    r = rect_exprs("doc_id", dialect)
+    shr = (lambda e, k: f"({e} >> {k})") if dialect == "duckdb" else (
+        lambda e, k: f"shiftright({e}, {k})"
+    )
+    half_w = shr(f"({r['x2']} - {r['x1']})", 1)
+    half_h = shr(f"({r['y2']} - {r['y1']})", 1)
+    xm = f"({r['x1']} + {half_w})"
+    ym = f"({r['y1']} + {half_h})"
+    return {**r, "xm": xm, "ym": ym}
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str] = None  # DuckDB SQL or None (rows-only check)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str):
+    def deco(fn):
+        spec = fn()
+        REGISTRY[name] = spec
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------------
+# S1/S2: segment building from contours (posexplode + lead window + normalization)
+
+
+def _hex_edges_sql(dialect: str, docs: str) -> str:
+    """The hexagon's 6 directed edges, a<b normalized with winding +-1 — closed-form
+    per-edge (used as the DuckDB oracle; the Spark side builds the same rows through
+    the generic posexplode+window operator)."""
+    p = _hex_pts(dialect)
+    rows = [
+        # (ax, ay, bx, by, subj)
+        (p["x1"], p["y1"], p["x2"], p["y1"], 1),  # bottom ->
+        (p["x2"], p["y1"], p["x2"], p["ym"], 1),  # right up
+        (p["xm"], p["ym"], p["x2"], p["ym"], -1),  # notch horizontal (reversed)
+        (p["xm"], p["ym"], p["xm"], p["y2"], 1),  # notch vertical up
+        (p["x1"], p["y2"], p["xm"], p["y2"], -1),  # top (reversed)
+        (p["x1"], p["y1"], p["x1"], p["y2"], -1),  # left (reversed)
+    ]
+    selects = [
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({ax} AS BIGINT) AS ax, "
+        f"CAST({ay} AS BIGINT) AS ay, CAST({bx} AS BIGINT) AS bx, "
+        f"CAST({by} AS BIGINT) AS by, CAST({s} AS INT) AS subj FROM {docs}"
+        for ax, ay, bx, by, s in rows
+    ]
+    return " UNION ALL ".join(selects)
+
+
+def _hex_contours_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> one hexagon contour per doc as an array<struct<x,y>> column."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _hex_pts("spark")
+    pts = ", ".join(
+        f"named_struct('x', CAST({x} AS BIGINT), 'y', CAST({y} AS BIGINT))"
+        for x, y in [
+            (p["x1"], p["y1"]),
+            (p["x2"], p["y1"]),
+            (p["x2"], p["ym"]),
+            (p["xm"], p["ym"]),
+            (p["xm"], p["y2"]),
+            (p["x1"], p["y2"]),
+        ]
+    )
+    return docs.select("doc_id", F.expr(f"array({pts})").alias("pts"))
+
+
+@_register("segments_build")
+def _q_segments_build():
+    """S1+S2: contour rings -> normalized directed segments with winding counts.
+
+    Spark: posexplode(pts) -> lead() window with wraparound -> a<b normalization
+    (reference ingest, iOverlay/src/segm/build.rs:35-146). Pure Column ops."""
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        contours = _hex_contours_df(spark, sf_dir)
+        exploded = contours.select(
+            "doc_id", F.posexplode("pts").alias("pos", "p"), F.size("pts").alias("n")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        with_next = exploded.select(
+            "doc_id",
+            F.col("p.x").alias("p0x"),
+            F.col("p.y").alias("p0y"),
+            F.coalesce(F.lead("p.x").over(w), F.first("p.x").over(w)).alias("p1x"),
+            F.coalesce(F.lead("p.y").over(w), F.first("p.y").over(w)).alias("p1y"),
+        )
+        fwd = (F.col("p0x") < F.col("p1x")) | (
+            (F.col("p0x") == F.col("p1x")) & (F.col("p0y") < F.col("p1y"))
+        )
+        return (
+            with_next.filter((F.col("p0x") != F.col("p1x")) | (F.col("p0y") != F.col("p1y")))
+            .select(
+                "doc_id",
+                F.when(fwd, F.col("p0x")).otherwise(F.col("p1x")).alias("ax"),
+                F.when(fwd, F.col("p0y")).otherwise(F.col("p1y")).alias("ay"),
+                F.when(fwd, F.col("p1x")).otherwise(F.col("p0x")).alias("bx"),
+                F.when(fwd, F.col("p1y")).otherwise(F.col("p0y")).alias("by"),
+                F.when(fwd, F.lit(1)).otherwise(F.lit(-1)).cast("int").alias("subj"),
+            )
+        )
+
+    return QuerySpec(spark=spark_fn, oracle=_hex_edges_sql("duckdb", "documents"))
+
+
+@_register("segments_merge")
+def _q_segments_merge():
+    """A2: coincident-segment merge — groupBy(a,b).sum(winding), zero-count dropped
+    (reference iOverlay/src/segm/merge.rs:26-87). Docs with doc_id%3==0 get a
+    cancelling duplicate, exercising the drop path."""
+
+    def shared_sql(dialect: str, docs: str) -> str:
+        edges = _hex_edges_sql(dialect, docs)
+        return f"""
+WITH edges AS ({edges}),
+doubled AS (
+  SELECT * FROM edges
+  UNION ALL
+  SELECT doc_id, ax, ay, bx, by, CAST(-subj AS INT) AS subj FROM edges WHERE doc_id % 3 = 0
+)
+SELECT ax, ay, bx, by, CAST(SUM(subj) AS BIGINT) AS subj, CAST(COUNT(*) AS BIGINT) AS n
+FROM doubled
+GROUP BY ax, ay, bx, by
+HAVING SUM(subj) <> 0
+"""
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.sql(shared_sql("spark", _tbl("spark", sf_dir, "documents")))
+
+    return QuerySpec(spark=spark_fn, oracle=shared_sql("duckdb", "documents"))
+
+
+# ---------------------------------------------------------------------------------
+# north-rule cell index / covers / tiles
+
+
+@_register("cell_index")
+def _q_cell_index():
+    """H3/S2-style hierarchical cell id (Morton quadkey, level 8) for each query point.
+
+    Pure bit-arithmetic Column expressions — generalizes GridLayout::index
+    (iOverlay/src/split/grid_layout.rs:17-120)."""
+
+    def shared_sql(dialect: str, docs: str) -> str:
+        p = point_exprs("doc_id", dialect)
+        cell = cell_expr(p["px"], p["py"], 8, dialect)
+        return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({p["px"]} AS BIGINT) AS px,
+       CAST({p["py"]} AS BIGINT) AS py, CAST({cell} AS BIGINT) AS cell8
+FROM {docs}
+"""
+
+    def spark_fn(spark, sf_dir):
+        return spark.sql(shared_sql("spark", _tbl("spark", sf_dir, "documents")))
+
+    return QuerySpec(spark=spark_fn, oracle=shared_sql("duckdb", "documents"))
+
+
+def _cover_sql(dialect: str, docs: str, level: int) -> str:
+    r = rect_exprs("doc_id", dialect)
+    cx1, cy1 = cell_xy_exprs(r["x1"], r["y1"], level, dialect)
+    # inclusive upper cell: the rect is half-open, so cover (x2-1, y2-1)
+    cx2, cy2 = cell_xy_exprs(f"({r['x2']} - 1)", f"({r['y2']} - 1)", level, dialect)
+    morton = morton_from_cxcy("cx", "cy", level, dialect)
+    base = (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {cx1} AS cx1, {cx2} AS cx2, "
+        f"{cy1} AS cy1, {cy2} AS cy2 FROM {docs}"
+    )
+    if dialect == "spark":
+        return f"""
+WITH r AS ({base})
+SELECT doc_id, CAST({morton} AS BIGINT) AS cell
+FROM r
+LATERAL VIEW explode(sequence(cx1, cx2)) AS cx
+LATERAL VIEW explode(sequence(cy1, cy2)) AS cy
+"""
+    return f"""
+WITH r AS ({base})
+SELECT doc_id, CAST({morton} AS BIGINT) AS cell
+FROM r, LATERAL (SELECT unnest(generate_series(r.cx1, r.cx2)) AS cx) u,
+        LATERAL (SELECT unnest(generate_series(r.cy1, r.cy2)) AS cy) v
+"""
+
+
+@_register("cell_cover")
+def _q_cell_cover():
+    """Cells covered by each rectangle payload at level 6 (bbox -> cell-range explode);
+    the candidate-generation primitive of the distributed split (SURVEY.md A6)."""
+
+    def spark_fn(spark, sf_dir):
+        return spark.sql(_cover_sql("spark", _tbl("spark", sf_dir, "documents"), 6))
+
+    return QuerySpec(spark=spark_fn, oracle=_cover_sql("duckdb", "documents", 6))
+
+
+@_register("tile_assign")
+def _q_tile_assign():
+    """Tile materialization stats: rect payloads assigned to level-5 tiles, per-tile
+    counts (north-rule tiling surface)."""
+
+    def shared_sql(dialect: str, docs: str) -> str:
+        cover = _cover_sql(dialect, docs, 5)
+        return f"""
+WITH cover AS ({cover})
+SELECT cell AS tile, CAST(COUNT(*) AS BIGINT) AS n_rects,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM cover GROUP BY cell
+"""
+
+    def spark_fn(spark, sf_dir):
+        return spark.sql(shared_sql("spark", _tbl("spark", sf_dir, "documents")))
+
+    return QuerySpec(spark=spark_fn, oracle=shared_sql("duckdb", "documents"))
+
+
+# ---------------------------------------------------------------------------------
+# spatial joins
+
+
+@_register("pip_join")
+def _q_pip_join():
+    """Point-in-polygon join (points x rect payloads) — Spark side goes through the
+    scale path: cell-cover equi-join candidates at level 6, then exact verify, then
+    dedup; oracle is the direct theta join. Identical result sets."""
+
+    def spark_fn(spark, sf_dir):
+        docs = _tbl("spark", sf_dir, "documents")
+        p = point_exprs("doc_id", "spark")
+        pcell = cell_expr(p["px"], p["py"], 6, "spark")
+        pts_sql = f"""
+SELECT CAST(doc_id AS BIGINT) AS p_id, CAST({p["px"]} AS BIGINT) AS px,
+       CAST({p["py"]} AS BIGINT) AS py, CAST({pcell} AS BIGINT) AS cell
+FROM {docs}
+"""
+        cover = _cover_sql("spark", docs, 6)
+        r = rect_exprs("doc_id", "spark")
+        rects_sql = f"""
+SELECT CAST(doc_id AS BIGINT) AS r_id, {r["x1"]} AS x1, {r["y1"]} AS y1,
+       {r["x2"]} AS x2, {r["y2"]} AS y2 FROM {docs}
+"""
+        return spark.sql(
+            f"""
+WITH pts AS ({pts_sql}), cover AS ({cover}), rects AS ({rects_sql})
+SELECT DISTINCT p.p_id, r.r_id
+FROM pts p
+JOIN cover c ON p.cell = c.cell
+JOIN rects r ON r.r_id = c.doc_id
+WHERE p.px >= r.x1 AND p.px < r.x2 AND p.py >= r.y1 AND p.py < r.y2
+"""
+        )
+
+    p = point_exprs("doc_id", "duckdb")
+    r = rect_exprs("doc_id", "duckdb")
+    oracle = f"""
+WITH pts AS (SELECT CAST(doc_id AS BIGINT) AS p_id, {p["px"]} AS px, {p["py"]} AS py FROM documents),
+rects AS (SELECT CAST(doc_id AS BIGINT) AS r_id, {r["x1"]} AS x1, {r["y1"]} AS y1,
+                 {r["x2"]} AS x2, {r["y2"]} AS y2 FROM documents)
+SELECT p.p_id, r.r_id FROM pts p JOIN rects r
+ON p.px >= r.x1 AND p.px < r.x2 AND p.py >= r.y1 AND p.py < r.y2
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("knn")
+def _q_knn():
+    """kNN: 3 nearest rectangle centers per query point (exact squared distance on
+    doubled coordinates, deterministic tie-break by id) via window top-k."""
+
+    def shared_sql(dialect: str, docs: str) -> str:
+        p = point_exprs("doc_id", dialect)
+        r = rect_exprs("doc_id", dialect)
+        return f"""
+WITH pts AS (SELECT CAST(doc_id AS BIGINT) AS p_id, 2*({p["px"]}) AS px2, 2*({p["py"]}) AS py2 FROM {docs}),
+ctr AS (SELECT CAST(doc_id AS BIGINT) AS r_id, ({r["x1"]}+{r["x2"]}) AS cx2, ({r["y1"]}+{r["y2"]}) AS cy2 FROM {docs}),
+d AS (
+  SELECT p.p_id, c.r_id,
+         (p.px2-c.cx2)*(p.px2-c.cx2) + (p.py2-c.cy2)*(p.py2-c.cy2) AS d2
+  FROM pts p CROSS JOIN ctr c
+)
+SELECT p_id, r_id, d2, rnk FROM (
+  SELECT p_id, r_id, d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY d2, r_id) AS BIGINT) AS rnk
+  FROM d
+) t WHERE rnk <= 3
+"""
+
+    def spark_fn(spark, sf_dir):
+        return spark.sql(shared_sql("spark", _tbl("spark", sf_dir, "documents")))
+
+    return QuerySpec(spark=spark_fn, oracle=shared_sql("duckdb", "documents"))
+
+
+# ---------------------------------------------------------------------------------
+# ring area (shoelace) — window-function form vs closed form
+
+
+@_register("ring_area")
+def _q_ring_area():
+    """Shoelace area2 of each hexagon ring: Spark computes it the generic way
+    (posexplode + lead window + sum of cross terms); the oracle is the independent
+    closed form 2*(W*H - notch)."""
+
+    def spark_fn(spark, sf_dir):
+        contours = _hex_contours_df(spark, sf_dir)
+        exploded = contours.select("doc_id", F.posexplode("pts").alias("pos", "p"))
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        terms = exploded.select(
+            "doc_id",
+            (
+                F.col("p.x") * F.coalesce(F.lead("p.y").over(w), F.first("p.y").over(w))
+                - F.coalesce(F.lead("p.x").over(w), F.first("p.x").over(w)) * F.col("p.y")
+            ).alias("t"),
+        )
+        return terms.groupBy("doc_id").agg(F.sum("t").cast("long").alias("area2"))
+
+    p = _hex_pts("duckdb")
+    oracle = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(2*(({p["x2"]}-{p["x1"]})*({p["y2"]}-{p["y1"]})
+            - ({p["x2"]}-{p["xm"]})*({p["y2"]}-{p["ym"]})) AS BIGINT) AS area2
+FROM documents
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+# ---------------------------------------------------------------------------------
+# full-kernel overlay vs closed-form SQL (the correctness bridge for the whole
+# split->fill->extract pipeline running distributed)
+
+
+def _clip_rect_exprs(id_col: str, dialect: str) -> dict[str, str]:
+    """Clip rectangle per doc: the subject rect shifted by a doc-dependent offset and
+    resized — offsets sweep from always-overlapping to disjoint, so the kernel's empty
+    and non-empty result paths are both exercised."""
+    r = rect_exprs(id_col, dialect)
+    i = f"CAST({id_col} AS BIGINT)"
+    sx = f"(123 + (({i} % 5) * 2048))"
+    sy = f"(177 + (({i} % 7) * 1024))"
+    w2 = f"(200 + (({i} * 41) % 4096))"
+    h2 = f"(200 + (({i} * 59) % 4096))"
+    x1 = f"({r['x1']} + {sx})"
+    y1 = f"({r['y1']} + {sy})"
+    return {"x1": x1, "y1": y1, "x2": f"({x1} + {w2})", "y2": f"({y1} + {h2})"}
+
+
+@_register("overlay_rect_intersect")
+def _q_overlay_rect_intersect():
+    """Boolean INTERSECT of rect pairs (subject = doc rect, clip = shifted/resized
+    copy) run through the full distributed kernel
+    (groupBy(pair_id).applyInPandas); oracle is the exact closed-form rectangle
+    intersection area."""
+
+    def spark_fn(spark, sf_dir):
+        from .operators.overlay_df import overlay_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        r = rect_exprs("doc_id", "spark")
+        r2 = _clip_rect_exprs("doc_id", "spark")
+
+        def ring(rr):
+            return (
+                f"array(named_struct('x', CAST({rr['x1']} AS BIGINT), 'y', CAST({rr['y1']} AS BIGINT)),"
+                f" named_struct('x', CAST({rr['x2']} AS BIGINT), 'y', CAST({rr['y1']} AS BIGINT)),"
+                f" named_struct('x', CAST({rr['x2']} AS BIGINT), 'y', CAST({rr['y2']} AS BIGINT)),"
+                f" named_struct('x', CAST({rr['x1']} AS BIGINT), 'y', CAST({rr['y2']} AS BIGINT)))"
+            )
+
+        subj = docs.selectExpr(
+            "CAST(doc_id AS BIGINT) AS pair_id",
+            "'subject' AS role",
+            "CAST(0 AS BIGINT) AS shape_id",
+            "CAST(0 AS INT) AS contour_idx",
+            f"transform({ring(r)}, q -> q.x) AS pts_x",
+            f"transform({ring(r)}, q -> q.y) AS pts_y",
+        )
+        clip = docs.selectExpr(
+            "CAST(doc_id AS BIGINT) AS pair_id",
+            "'clip' AS role",
+            "CAST(0 AS BIGINT) AS shape_id",
+            "CAST(0 AS INT) AS contour_idx",
+            f"transform({ring(r2)}, q -> q.x) AS pts_x",
+            f"transform({ring(r2)}, q -> q.y) AS pts_y",
+        )
+        shapes = overlay_pairs(subj.unionAll(clip), rules=["intersect"])
+        return shapes.groupBy("pair_id").agg(F.sum("area2").cast("long").alias("area2"))
+
+    ra = rect_exprs("a.doc_id", "duckdb")
+    rb = _clip_rect_exprs("a.doc_id", "duckdb")
+    oracle = f"""
+WITH pairs AS (
+  SELECT CAST(a.doc_id AS BIGINT) AS pair_id,
+         GREATEST(0, LEAST({ra["x2"]}, {rb["x2"]}) - GREATEST({ra["x1"]}, {rb["x1"]})) AS w,
+         GREATEST(0, LEAST({ra["y2"]}, {rb["y2"]}) - GREATEST({ra["y1"]}, {rb["y1"]})) AS h
+  FROM documents a
+)
+SELECT pair_id, CAST(2*w*h AS BIGINT) AS area2 FROM pairs WHERE w > 0 AND h > 0
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+# ---------------------------------------------------------------------------------
+# webtext layer: pages + text analytics + dedup
+
+
+@_register("pages_extract")
+def _q_pages_extract():
+    """pages synthesis + byte-invertible html->text extraction (input_hint invariant):
+    url + extracted length; oracle derives both directly from documents."""
+
+    def spark_fn(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = pages_from_documents(docs)
+        ext = extract_text(pages)
+        return ext.select(
+            "url", F.length("extracted_text").cast("long").alias("n_chars")
+        )
+
+    oracle = f"""
+SELECT {url_sql('duckdb')} AS url, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("dedup_exact")
+def _q_dedup_exact():
+    """Exact dedup: hash-groupBy on md5(text), keeper = min doc_id."""
+
+    def shared_sql(dialect: str, docs: str) -> str:
+        cast = "STRING" if dialect == "spark" else "VARCHAR"
+        return f"""
+SELECT md5(CAST(text AS {cast})) AS h, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper
+FROM {docs} GROUP BY md5(CAST(text AS {cast}))
+"""
+
+    def spark_fn(spark, sf_dir):
+        return spark.sql(shared_sql("spark", _tbl("spark", sf_dir, "documents")))
+
+    return QuerySpec(spark=spark_fn, oracle=shared_sql("duckdb", "documents"))
+
+
+@_register("token_stats")
+def _q_token_stats():
+    """Token counting (whitespace tokenizer, empty-token safe), per document."""
+
+    def spark_fn(spark, sf_dir):
+        docs = _tbl("spark", sf_dir, "documents")
+        return spark.sql(
+            f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM {docs}
+"""
+        )
+
+    oracle = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(list_filter(str_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("lang_stats")
+def _q_lang_stats():
+    """Language/quality rollup: per-lang doc counts, char and token sums (exact ints)."""
+
+    def spark_fn(spark, sf_dir):
+        docs = _tbl("spark", sf_dir, "documents")
+        return spark.sql(
+            f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(size(filter(split(text, ' '), x -> x != ''))) AS BIGINT) AS sum_tokens
+FROM {docs} GROUP BY lang
+"""
+        )
+
+    oracle = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(list_filter(str_split(text, ' '), x -> x != ''))) AS BIGINT) AS sum_tokens
+FROM documents GROUP BY lang
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("doc_fingerprint")
+def _q_doc_fingerprint():
+    """Document fingerprinting: md5 of the lowered 64-char prefix."""
+
+    def shared_sql(dialect: str, docs: str) -> str:
+        cast = "STRING" if dialect == "spark" else "VARCHAR"
+        return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(CAST(lower(substr(text, 1, 64)) AS {cast})) AS fp
+FROM {docs}
+"""
+
+    def spark_fn(spark, sf_dir):
+        return spark.sql(shared_sql("spark", _tbl("spark", sf_dir, "documents")))
+
+    return QuerySpec(spark=spark_fn, oracle=shared_sql("duckdb", "documents"))
+
+
+@_register("minhash_lsh_pairs")
+def _q_minhash_lsh():
+    """MinHash+LSH near-dup candidates: 3-token shingles -> 16 xxhash64 minhashes ->
+    4 bands of 4 -> band-bucket self-join -> distinct candidate pairs.
+    Non-SQL-expressible in the oracle dialect (xxhash64): rows-only check."""
+
+    def spark_fn(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = docs.select(
+            "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("t")
+        )
+        sh = toks.select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, greatest(size(t)-3, 0)), "
+                "i -> concat_ws(' ', slice(t, i+1, 3)))"
+            ).alias("shingles"),
+        ).select("doc_id", F.explode("shingles").alias("s"))
+        mins = sh.groupBy("doc_id").agg(
+            *[F.min(F.xxhash64(F.col("s"), F.lit(seed))).alias(f"m{seed}") for seed in range(16)]
+        )
+        bands = None
+        for b in range(4):
+            cols = [f"m{b * 4 + j}" for j in range(4)]
+            band = mins.select(
+                "doc_id", F.lit(b).alias("band"), F.xxhash64(*[F.col(c) for c in cols]).alias("sig")
+            )
+            bands = band if bands is None else bands.unionAll(band)
+        pairs = (
+            bands.alias("l")
+            .join(bands.alias("r"), ["band", "sig"])
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        return pairs
+
+    return QuerySpec(spark=spark_fn, oracle=None)
+
+
+@_register("simhash")
+def _q_simhash():
+    """SimHash-64 per document from token xxhash64s (sign-sum of bits, exact ints) —
+    rows-only check (xxhash64 not available to the oracle)."""
+
+    def spark_fn(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tok = docs.select(
+            "doc_id", F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("t")
+        ).select("doc_id", F.xxhash64("t").alias("h"))
+        aggs = [
+            F.sum(
+                F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{k}")
+            for k in range(64)
+        ]
+        sums = tok.groupBy("doc_id").agg(*aggs)
+        expr = " + ".join(f"IF(b{k} > 0, shiftleft(CAST(1 AS BIGINT), {k}), CAST(0 AS BIGINT))" for k in range(64))
+        return sums.select("doc_id", F.expr(expr).alias("simhash"))
+
+    return QuerySpec(spark=spark_fn, oracle=None)
+
+
+@_register("embed_knn")
+def _q_embed_knn():
+    """Brute-force cosine top-3 over the embeddings table (exact double math via
+    aggregate/zip_with; ids-only output for float-order stability)."""
+
+    def spark_fn(spark, sf_dir):
+        emb = _tbl("spark", sf_dir, "embeddings")
+        return spark.sql(
+            f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) AS nrm
+  FROM {emb}
+), d AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),
+                   CAST(0 AS DOUBLE), (acc, v) -> acc + v) / sqrt(a.nrm * b.nrm) AS cos
+  FROM e a CROSS JOIN e b WHERE a.vec_id != b.vec_id
+)
+SELECT vec_id, neighbor_id, rnk FROM (
+  SELECT vec_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM d
+) t WHERE rnk <= 3
+"""
+        )
+
+    oracle = """
+WITH d AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.embedding, b.embedding) /
+         sqrt(list_dot_product(a.embedding, a.embedding) * list_dot_product(b.embedding, b.embedding)) AS cos
+  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id != b.vec_id
+)
+SELECT vec_id, neighbor_id, rnk FROM (
+  SELECT vec_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM d
+) t WHERE rnk <= 3
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
