@@ -118,15 +118,19 @@ def run_suite(cpus: int) -> dict:
     # --- pip join ---
     pts = derive_points(lineitem, "li_id")
     rects = derive_rects(orders, "o_orderkey")
-    timed("pip", lambda: pip_join(pts, rects, level=6).count())
+    timed("pip", lambda: pip_join(pts, rects, level=9).count())
 
     # --- tiles ---
     timed("tiles", lambda: tile_assign(rects, level=5).count())
 
-    # --- knn (cell-ring) ---
+    # --- knn (cell-ring, density-chosen level) ---
+    from ioverlay_spark.operators.spatial import knn_auto_level
+
     opts = derive_points(orders, "o_orderkey")
-    ctr = rect_centers(rects, level=6)
-    timed("knn", lambda: knn_cell_ring(opts, ctr, k=3, level=6).count())
+    n_orders_pre = orders.count()
+    lvl = knn_auto_level(n_orders_pre)
+    ctr = rect_centers(rects, level=lvl)
+    timed("knn", lambda: knn_cell_ring(opts, ctr, k=3, level=lvl).count())
 
     n_orders = orders.count()
     n_li = lineitem.count()

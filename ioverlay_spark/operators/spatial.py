@@ -134,6 +134,17 @@ def rect_centers(rects: DataFrame, level: int = 6) -> DataFrame:
     )
 
 
+def knn_auto_level(n_centers: int, target_per_cell: int = 8) -> int:
+    """Cell level so that ~target_per_cell centers land per occupied cell.
+
+    Centers span [0, 2^19) per axis (a quarter of the 2^20 grid per axis), so the
+    occupied cell count at `level` is (2^level / 2)^2."""
+    import math
+
+    level = round(math.log2(max(n_centers, 1) / target_per_cell) / 2) + 1
+    return max(3, min(9, level))
+
+
 def knn_cell_ring(
     points: DataFrame,
     centers: DataFrame,
@@ -177,6 +188,10 @@ def knn_cell_ring(
         + (F.col("py2") - F.col("cy2")) * (F.col("py2") - F.col("cy2"))
     ).alias("d2")
     w = Window.partitionBy("p_id").orderBy("d2", "r_id")
+    try:
+        n_part = 2 * int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_part = 64
 
     remaining = pts
     settled_parts = []
@@ -199,8 +214,12 @@ def knn_cell_ring(
         cand = block.join(
             ctr, (F.col("qcx") == F.col("ccx")) & (F.col("qcy") == F.col("ccy"))
         ).select("p_id", "px2", "py2", "pcx", "pcy", "r_id", d2_expr)
+        # explicit repartition: the window's sort input is an exploded candidate set
+        # whose pre-explosion byte estimate is tiny — without this, AQE coalesces the
+        # window exchange to ~1 task (observed: a 341 s single-task sort at sf0.1)
         topk = (
-            cand.withColumn("rnk", F.row_number().over(w))
+            cand.repartition(n_part, "p_id")
+            .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .localCheckpoint(eager=True)  # cut iterative lineage (resumability pattern)
         )
@@ -220,7 +239,11 @@ def knn_cell_ring(
     if not remaining.isEmpty():
         # brute fallback for stragglers (few points x all centers)
         cand = remaining.crossJoin(ctr).select("p_id", "px2", "py2", "r_id", d2_expr)
-        topk = cand.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+        topk = (
+            cand.repartition(n_part, "p_id")
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+        )
         settled_parts.append(topk.select("p_id", "r_id", "d2", "rnk"))
 
     out = settled_parts[0]

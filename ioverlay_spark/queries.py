@@ -449,6 +449,268 @@ SELECT pair_id, CAST(2*w*h AS BIGINT) AS area2 FROM pairs WHERE w > 0 AND h > 0
 # webtext layer: pages + text analytics + dedup
 
 
+def _relate_clip_exprs(id_col: str, dialect: str) -> dict[str, str]:
+    """Clip rect for the predicate suite: CASE over doc_id%4 produces all relation
+    kinds — 0: generic shifted (overlap/disjoint mix), 1: identical (within),
+    2: corner touch (point_intersects), 3: edge touch (touches, shared edge)."""
+    r = rect_exprs(id_col, dialect)
+    g = _clip_rect_exprs(id_col, dialect)
+    i = f"CAST({id_col} AS BIGINT)"
+    w2 = f"(200 + (({i} * 41) % 4096))"
+    h2 = f"(200 + (({i} * 59) % 4096))"
+    k = f"({i} % 4)"
+
+    def pick(c0, c1, c2, c3):
+        return (
+            f"(CASE WHEN {k} = 0 THEN {c0} WHEN {k} = 1 THEN {c1} "
+            f"WHEN {k} = 2 THEN {c2} ELSE {c3} END)"
+        )
+
+    x1 = pick(g["x1"], r["x1"], r["x2"], r["x2"])
+    y1 = pick(g["y1"], r["y1"], r["y2"], r["y1"])
+    x2 = pick(g["x2"], r["x2"], f"({r['x2']} + {w2})", f"({r['x2']} + {w2})")
+    y2 = pick(g["y2"], r["y2"], f"({r['y2']} + {h2})", r["y2"])
+    return {"x1": x1, "y1": y1, "x2": x2, "y2": y2}
+
+
+@_register("relate_rects")
+def _q_relate_rects():
+    """Spatial predicates P1-P7 per pair (intersects/disjoint/interiors/touches/
+    point_intersects/within) through the full split+fill kernel; oracle is the exact
+    closed-form rectangle relation algebra."""
+
+    def spark_fn(spark, sf_dir):
+        from .operators.relate_df import relate_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        r = rect_exprs("doc_id", "spark")
+        c = _relate_clip_exprs("doc_id", "spark")
+
+        def ring(rr):
+            xs = (
+                f"array(CAST({rr['x1']} AS BIGINT), CAST({rr['x2']} AS BIGINT), "
+                f"CAST({rr['x2']} AS BIGINT), CAST({rr['x1']} AS BIGINT))"
+            )
+            ys = (
+                f"array(CAST({rr['y1']} AS BIGINT), CAST({rr['y1']} AS BIGINT), "
+                f"CAST({rr['y2']} AS BIGINT), CAST({rr['y2']} AS BIGINT))"
+            )
+            return xs, ys
+
+        sx, sy = ring(r)
+        cx, cy = ring(c)
+
+        def geoms(role, xs, ys):
+            return docs.selectExpr(
+                "CAST(doc_id AS BIGINT) AS pair_id",
+                f"'{role}' AS role",
+                "CAST(0 AS BIGINT) AS shape_id",
+                "CAST(0 AS INT) AS contour_idx",
+                f"{xs} AS pts_x",
+                f"{ys} AS pts_y",
+            )
+
+        return relate_pairs(geoms("subject", sx, sy).unionAll(geoms("clip", cx, cy)))
+
+    r = rect_exprs("doc_id", "duckdb")
+    c = _relate_clip_exprs("doc_id", "duckdb")
+    oracle = f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS pair_id,
+         {r["x1"]} AS ax1, {r["y1"]} AS ay1, {r["x2"]} AS ax2, {r["y2"]} AS ay2,
+         {c["x1"]} AS bx1, {c["y1"]} AS by1, {c["x2"]} AS bx2, {c["y2"]} AS by2
+  FROM documents
+), rel AS (
+  SELECT pair_id,
+         (ax1 <= bx2 AND bx1 <= ax2 AND ay1 <= by2 AND by1 <= ay2) AS closed_ovl,
+         (ax1 < bx2 AND bx1 < ax2 AND ay1 < by2 AND by1 < ay2) AS open_ovl,
+         ((ax1 = bx2 OR bx1 = ax2) AND (ay1 = by2 OR by1 = ay2)) AS corner_only,
+         (ax1 >= bx1 AND ax2 <= bx2 AND ay1 >= by1 AND ay2 <= by2) AS a_in_b
+  FROM p
+)
+SELECT pair_id,
+       closed_ovl AS intersects,
+       NOT closed_ovl AS disjoint,
+       open_ovl AS interiors_intersect,
+       (closed_ovl AND NOT open_ovl) AS touches,
+       (closed_ovl AND corner_only) AS point_intersects,
+       a_in_b AS within
+FROM rel
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+def _bucketed_apply(df, kernel, schema, key="doc_id"):
+    n_part = 32
+    return (
+        df.withColumn("_bucket", F.pmod(F.hash(key), F.lit(8 * n_part)))
+        .repartition(n_part, "_bucket")
+        .groupBy("_bucket")
+        .applyInPandas(kernel, schema=schema)
+    )
+
+
+def _rect_point_df(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = rect_exprs("doc_id", "spark")
+    p = point_exprs("doc_id", "spark")
+    return docs.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        f"CAST({r['x1']} AS BIGINT) AS x1",
+        f"CAST({r['y1']} AS BIGINT) AS y1",
+        f"CAST({r['x2']} AS BIGINT) AS x2",
+        f"CAST({r['y2']} AS BIGINT) AS y2",
+        f"CAST({p['px']} AS BIGINT) AS px",
+        f"CAST({p['py']} AS BIGINT) AS py",
+    )
+
+
+@_register("clip_polyline")
+def _q_clip_polyline():
+    """L1: clip a horizontal polyline (centered at the doc's query point) by the doc's
+    rect through the string kernel; oracle is the exact interval-clip closed form."""
+
+    def spark_fn(spark, sf_dir):
+        import pandas as pd
+
+        from .kernel.string_ops import clip_path
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            rows = []
+            for t in pdf.itertuples():
+                body = [
+                    np.array(
+                        [[t.x1, t.y1], [t.x2, t.y1], [t.x2, t.y2], [t.x1, t.y2]], dtype=np.int64
+                    )
+                ]
+                path = np.array([[t.px - 4096, t.py], [t.px + 4096, t.py]], dtype=np.int64)
+                for part in clip_path(body, path, boundary_included=True):
+                    rows.append(
+                        (int(t.doc_id), int(part[0][0]), int(part[-1][0]), int(t.py))
+                    )
+            return pd.DataFrame(rows, columns=["doc_id", "x_start", "x_end", "py"])
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("x_start", LongType()),
+                StructField("x_end", LongType()),
+                StructField("py", LongType()),
+            ]
+        )
+        return _bucketed_apply(_rect_point_df(spark, sf_dir), kernel, schema)
+
+    r = rect_exprs("doc_id", "duckdb")
+    p = point_exprs("doc_id", "duckdb")
+    oracle = f"""
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {r["x1"]} AS x1, {r["y1"]} AS y1, {r["x2"]} AS x2, {r["y2"]} AS y2,
+         {p["px"]} AS px, {p["py"]} AS py
+  FROM documents
+)
+SELECT doc_id, GREATEST(px - 4096, x1) AS x_start, LEAST(px + 4096, x2) AS x_end, py
+FROM g
+WHERE py >= y1 AND py <= y2 AND GREATEST(px - 4096, x1) < LEAST(px + 4096, x2)
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("slice_rect")
+def _q_slice_rect():
+    """L2: slice each doc's rect by a vertical polyline at x1 + (w>>2) through the
+    string kernel face walk; oracle is the two closed-form piece areas."""
+
+    def spark_fn(spark, sf_dir):
+        import pandas as pd
+
+        from .kernel.extract import ring_area2
+        from .kernel.string_ops import slice_shape
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            rows = []
+            for t in pdf.itertuples():
+                body = [
+                    np.array(
+                        [[t.x1, t.y1], [t.x2, t.y1], [t.x2, t.y2], [t.x1, t.y2]], dtype=np.int64
+                    )
+                ]
+                xs = t.x1 + ((t.x2 - t.x1) >> 2)
+                cut = np.array([[xs, t.y1 - 16], [xs, t.y2 + 16]], dtype=np.int64)
+                for shape in slice_shape(body, [cut]):
+                    rows.append((int(t.doc_id), int(sum(ring_area2(r) for r in shape))))
+            return pd.DataFrame(rows, columns=["doc_id", "area2"])
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("area2", LongType())]
+        )
+        return _bucketed_apply(_rect_point_df(spark, sf_dir), kernel, schema)
+
+    r = rect_exprs("doc_id", "duckdb")
+    xs = f"({r['x1']} + (({r['x2']} - {r['x1']}) >> 2))"
+    oracle = f"""
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {r["x1"]} AS x1, {r["y1"]} AS y1, {r["x2"]} AS x2, {r["y2"]} AS y2, {xs} AS xs
+  FROM documents
+)
+SELECT doc_id, CAST(2 * (xs - x1) * (y2 - y1) AS BIGINT) AS area2 FROM g
+UNION ALL
+SELECT doc_id, CAST(2 * (x2 - xs) * (y2 - y1) AS BIGINT) AS area2 FROM g
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("stroke_area")
+def _q_stroke_area():
+    """M1: butt-cap stroke of a horizontal 8192-long polyline at even width
+    64 + (doc_id%64)*2 — exact rectangle; oracle is the closed-form area."""
+
+    def spark_fn(spark, sf_dir):
+        import pandas as pd
+
+        from .kernel.buffering import LineCap, stroke
+        from .kernel.extract import ring_area2
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            rows = []
+            for t in pdf.itertuples():
+                w = 64 + (int(t.doc_id) % 64) * 2
+                path = np.array([[t.px - 4096, t.py], [t.px + 4096, t.py]], dtype=np.int64)
+                shapes = stroke(path, w, cap=LineCap.BUTT)
+                rows.append(
+                    (
+                        int(t.doc_id),
+                        int(sum(ring_area2(r) for s in shapes for r in s)),
+                    )
+                )
+            return pd.DataFrame(rows, columns=["doc_id", "area2"])
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("area2", LongType())]
+        )
+        return _bucketed_apply(_rect_point_df(spark, sf_dir), kernel, schema)
+
+    oracle = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(2 * 8192 * (64 + (CAST(doc_id AS BIGINT) % 64) * 2) AS BIGINT) AS area2
+FROM documents
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
 @_register("pages_extract")
 def _q_pages_extract():
     """pages synthesis + byte-invertible html->text extraction (input_hint invariant):
