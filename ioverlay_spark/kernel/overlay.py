@@ -45,8 +45,7 @@ def build_graph(
             build_segments(clip, False, options.preserve_input_collinear),
         ]
     )
-    segs = sort_and_merge(segs)
-    segs = split_segments(segs)
+    segs = split_segments(segs)  # sorts + merges first (A1/A2), then splits
     fills = compute_fills(segs, fill_rule)
     return OverlayGraph(segs, fills, options)
 

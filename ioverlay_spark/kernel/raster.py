@@ -1,0 +1,130 @@
+"""Raster <-> vector tile kernels (north rule: raster-to-vector tile rasterization).
+
+- rasterize: polygons -> per-tile boolean pixel mask (even-odd / winding at pixel
+  centers; exact integer comparisons — a pixel is filled iff its center is inside).
+- vectorize: pixel mask -> rectilinear polygon rings (unit boundary edges with
+  filled-side-left, stitched by the same planar face walk the slicer uses, collinear
+  vertices merged). vectorize(rasterize(x)) is exact for pixel-aligned input.
+
+Both are pure numpy and run per tile inside applyInPandas at the Spark layer
+(tile key = cell id, SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..options import FillRule
+
+
+def rasterize(
+    rings: list[np.ndarray],
+    origin: tuple[int, int],
+    size_px: tuple[int, int],
+    px: int,
+    fill_rule: FillRule = FillRule.EVEN_ODD,
+) -> np.ndarray:
+    """Rasterize rings onto a (h, w) bool mask. Pixel (r, c) covers the square
+    [origin_x + c*px, +px) x [origin_y + r*px, +px); it is filled iff its center
+    (doubled coords: 2*origin + (2c+1)*px) is inside under the fill rule."""
+    w, h = size_px
+    mask_wind = np.zeros((h, w), dtype=np.int64)
+    ox, oy = origin
+    # pixel center rows (doubled coordinates to stay integer)
+    cy2 = 2 * oy + (2 * np.arange(h, dtype=np.int64) + 1) * px  # (h,)
+    cx2 = 2 * ox + (2 * np.arange(w, dtype=np.int64) + 1) * px  # (w,)
+
+    for ring in rings:
+        pts = np.asarray(ring, dtype=np.int64).reshape(-1, 2)
+        n = len(pts)
+        if n < 3:
+            continue
+        p0 = pts
+        p1 = np.roll(pts, -1, axis=0)
+        # normalize to ax<bx, count +-1; vertical edges never cross the ray
+        fwd = p0[:, 0] < p1[:, 0]
+        bwd = p1[:, 0] < p0[:, 0]
+        keep = fwd | bwd
+        a = np.where(fwd[:, None], p0, p1)[keep]
+        b = np.where(fwd[:, None], p1, p0)[keep]
+        cnt = np.where(fwd[keep], 1, -1).astype(np.int64)
+        # for each edge and each pixel column: does the column's center x lie in [ax, bx)?
+        # wind contribution to rows whose center y is ABOVE the edge at that x.
+        for e in range(len(a)):
+            axe, aye = int(a[e, 0]), int(a[e, 1])
+            bxe, bye = int(b[e, 0]), int(b[e, 1])
+            dt = bxe - axe
+            span = (cx2 >= 2 * axe) & (cx2 < 2 * bxe)
+            if not span.any():
+                continue
+            cols = np.flatnonzero(span)
+            # edge y at center x (rational): num/ (2*dt) vs center y
+            num = 2 * aye * dt + (bye - aye) * (cx2[cols] - 2 * axe)  # = y_edge * 2dt
+            # filled-above test per row: cy2 * dt >= num (dt > 0). The >= makes a
+            # center lying exactly ON an edge count as above it, which yields the
+            # half-open [y1, y2) convention on axis-aligned input (matching the x
+            # span's [x1, x2)) — consistent with the closed-form pixel-count oracle.
+            above = cy2[:, None] * dt >= num[None, :]
+            mask_wind[:, cols] += above * cnt[e]
+
+    if fill_rule == FillRule.EVEN_ODD:
+        return (mask_wind & 1).astype(bool)
+    if fill_rule == FillRule.NON_ZERO:
+        return mask_wind != 0
+    if fill_rule == FillRule.POSITIVE:
+        return mask_wind > 0
+    return mask_wind < 0
+
+
+def vectorize(mask: np.ndarray, origin: tuple[int, int], px: int) -> list[np.ndarray]:
+    """Mask -> rectilinear rings (hulls CCW, holes CW), exact. Boundary edges are
+    emitted with the filled side on the LEFT, then stitched by the planar face walk."""
+    from .string_ops import _face_walk_min_cw
+
+    m = np.asarray(mask, dtype=bool)
+    h, w = m.shape
+    ox, oy = origin
+    padded = np.zeros((h + 2, w + 2), dtype=bool)
+    padded[1:-1, 1:-1] = m
+    edges = []
+    # horizontal boundaries: between row r-1 and r (pixel grid line y = oy + r*px)
+    diff_h = padded[1:, 1:-1] != padded[:-1, 1:-1]  # (h+1, w)
+    for r, c in zip(*np.nonzero(diff_h)):
+        y = oy + r * px
+        x0, x1 = ox + c * px, ox + (c + 1) * px
+        if padded[r + 1, c + 1]:  # filled above the line: left side of +x direction
+            edges.append(((x0, y), (x1, y)))
+        else:  # filled below: walk -x so filled stays left
+            edges.append(((x1, y), (x0, y)))
+    diff_v = padded[1:-1, 1:] != padded[1:-1, :-1]  # (h, w+1)
+    for r, c in zip(*np.nonzero(diff_v)):
+        x = ox + c * px
+        y0, y1 = oy + r * px, oy + (r + 1) * px
+        if padded[r + 1, c + 1]:  # filled right of the line: walk -y ... check below
+            # filled east: direction +y has filled on right -> walk (x,y1)->(x,y0)?
+            # interior-left convention: going UP (+y) keeps WEST on left; filled is
+            # EAST here, so walk DOWN? No: going DOWN (-y) keeps EAST on left.
+            edges.append(((x, y1), (x, y0)))
+        else:  # filled west: going UP keeps WEST on left
+            edges.append(((x, y0), (x, y1)))
+    rings = _face_walk_min_cw(edges)
+    out = []
+    for ring in rings:
+        ring = _merge_collinear_rectilinear(ring)
+        if len(ring) >= 4:
+            out.append(np.array(ring, dtype=np.int64))
+    return out
+
+
+def _merge_collinear_rectilinear(ring: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    if len(ring) < 3:
+        return []
+    out = []
+    n = len(ring)
+    for i in range(n):
+        p0 = ring[i - 1]
+        p1 = ring[i]
+        p2 = ring[(i + 1) % n]
+        if (p1[0] - p0[0]) * (p2[1] - p1[1]) - (p1[1] - p0[1]) * (p2[0] - p1[0]) != 0:
+            out.append(p1)
+    return out

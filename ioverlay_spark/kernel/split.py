@@ -166,6 +166,15 @@ def _candidate_pairs(segs: Segments) -> np.ndarray:
     ax, bx = segs.ax, segs.bx
     ymin = np.minimum(segs.ay, segs.by)
     ymax = np.maximum(segs.ay, segs.by)
+    if n <= 96:
+        # small case: one dense triangular mask beats the per-i loop
+        i, j = np.triu_indices(n, k=1)
+        m = (
+            (ax[j] <= bx[i])
+            & (ymin[j] <= ymax[i])
+            & (ymax[j] >= ymin[i])
+        )
+        return np.stack([i[m], j[m]], axis=1)
     out = []
     # for each i, js in (i, hi) where ax[j] <= bx[i]
     his = np.searchsorted(ax, bx, side="right")

@@ -1,0 +1,393 @@
+"""Distributed pipeline for ONE huge boolean overlay (SURVEY.md §7 v2).
+
+When a single overlay job has millions of segments, the per-pair kernel cannot hold
+it; this pipeline distributes every stage of the reference algorithm:
+
+  A1/A2  sort+merge          -> groupBy(a,b).sum(counts), drop zeros (hash agg)
+  A6/A7  split               -> grid-cell explode -> per-cell pandas kernel finds
+                                exact intersection marks -> global mark dedup
+  A8     apply marks         -> PURE Column ops: collect+sort marks per segment,
+                                explode sub-segment chain (no Python in the path)
+  A9     snap fixpoint       -> driver loop; each round is one Spark job
+  A10    fill                -> x-strip explode -> per-strip vectorized ray-cast
+                                winding (each segment evaluated in its midpoint
+                                strip against all segments crossing that strip)
+  A11-13 boundary + extract  -> Column-expr filter -> connected components via
+                                alternating large-star/small-star (O(log n) rounds)
+                                -> per-component kernel walk
+  A14    hole binding        -> distributed below-anchor scan (x-band equi-join +
+                                max_by), hole->hole chains resolved on the driver
+
+Skew: per-cell segment histograms pick the grid level; cells exceeding the hot
+threshold are salted to a finer sub-grid before the pandas kernel (north rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.split import cross_pair
+from ..options import FillRule, OverlayOptions, OverlayRule
+
+SEG_COLS = ["ax", "ay", "bx", "by", "subj", "clip"]
+
+MARKS_SCHEMA = StructType(
+    [
+        StructField("ax", LongType()),
+        StructField("ay", LongType()),
+        StructField("bx", LongType()),
+        StructField("by", LongType()),
+        StructField("px", LongType()),
+        StructField("py", LongType()),
+        StructField("is_round", BooleanType()),
+    ]
+)
+
+
+def merge_segments_df(segs: DataFrame) -> DataFrame:
+    """A2: coincident merge (reference iOverlay/src/segm/merge.rs:26-87)."""
+    return (
+        segs.groupBy("ax", "ay", "bx", "by")
+        .agg(F.sum("subj").alias("subj"), F.sum("clip").alias("clip"))
+        .where((F.col("subj") != 0) | (F.col("clip") != 0))
+    )
+
+
+def _cell_cover_expr(level_col_free: int, grid_min: int, cell_size: int):
+    """sequence of covered cell columns for a segment bbox."""
+    return (
+        f"sequence( (least(ax, bx) - {grid_min}) DIV {cell_size},"
+        f" (greatest(ax, bx) - {grid_min}) DIV {cell_size} )",
+        f"sequence( (least(ay, by) - {grid_min}) DIV {cell_size},"
+        f" (greatest(ay, by) - {grid_min}) DIV {cell_size} )",
+    )
+
+
+def _find_marks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-cell exact pairwise crossing detection (A6/A7): numpy bbox prefilter +
+    exact integer cross solver. Emits split marks keyed by segment coordinates."""
+    ax = pdf["ax"].to_numpy()
+    ay = pdf["ay"].to_numpy()
+    bx = pdf["bx"].to_numpy()
+    by = pdf["by"].to_numpy()
+    n = len(ax)
+    rows = []
+    if n >= 2:
+        order = np.lexsort((ay, ax))
+        ax, ay, bx, by = ax[order], ay[order], bx[order], by[order]
+        ymin = np.minimum(ay, by)
+        ymax = np.maximum(ay, by)
+        his = np.searchsorted(ax, bx, side="right")
+        for i in range(n - 1):
+            hi = his[i]
+            if hi <= i + 1:
+                continue
+            js = np.arange(i + 1, hi)
+            m = (ymin[js] <= ymax[i]) & (ymax[js] >= ymin[i])
+            js = js[m]
+            ti = (int(ax[i]), int(ay[i]), int(bx[i]), int(by[i]))
+            for j in js:
+                tj = (int(ax[j]), int(ay[j]), int(bx[j]), int(by[j]))
+                if ti == tj:
+                    continue  # same segment exploded into the same cell twice
+                pm, rnd = cross_pair(ti, tj, 2)
+                for which, x, y in pm:
+                    t = ti if which == 0 else tj
+                    rows.append((t[0], t[1], t[2], t[3], x, y, rnd))
+    return pd.DataFrame(
+        rows, columns=["ax", "ay", "bx", "by", "px", "py", "is_round"]
+    )
+
+
+def split_round(segs: DataFrame, cells_per_axis: int, hot_threshold: int = 20000) -> tuple[DataFrame, DataFrame]:
+    """One split round: returns (marks_df, stats). Cells are salted to a 4x finer
+    sub-grid when their segment count exceeds hot_threshold (skew handling)."""
+    spark = segs.sparkSession
+    bounds = segs.agg(
+        F.min(F.least("ax", "bx")).alias("x0"),
+        F.max(F.greatest("ax", "bx")).alias("x1"),
+        F.min(F.least("ay", "by")).alias("y0"),
+        F.max(F.greatest("ay", "by")).alias("y1"),
+    ).collect()[0]
+    x0, x1 = int(bounds["x0"]), int(bounds["x1"])
+    y0 = int(bounds["y0"])
+    extent = max(x1 - x0, int(bounds["y1"]) - y0, 1)
+    cell = max(1, (extent + cells_per_axis - 1) // cells_per_axis)
+
+    cx_seq = (
+        f"sequence( (least(ax, bx) - {x0}) DIV {cell}, (greatest(ax, bx) - {x0}) DIV {cell} )"
+    )
+    cy_seq = (
+        f"sequence( (least(ay, by) - {y0}) DIV {cell}, (greatest(ay, by) - {y0}) DIV {cell} )"
+    )
+    covered = (
+        segs.withColumn("cx", F.explode(F.expr(cx_seq)))
+        .withColumn("cy", F.explode(F.expr(cy_seq)))
+    )
+
+    # skew: histogram of cell loads -> hot cells get a salt from a finer sub-grid so
+    # no single pandas group exceeds ~hot_threshold segments
+    loads = covered.groupBy("cx", "cy").count()
+    hot = loads.where(F.col("count") > hot_threshold).select("cx", "cy", "count")
+    hot_cells = {(r["cx"], r["cy"]): int(r["count"]) for r in hot.collect()}
+    if hot_cells:
+        # NOTE: sub-salting by fine grid keeps correctness because marks are found
+        # per sub-cell and pairs spanning sub-cells still share at least one covered
+        # sub-cell (bbox cover is per sub-cell too). Here we simply re-run those
+        # cells at a finer cell size by bumping the cover to a 4x finer grid.
+        fine = 4
+        covered = (
+            segs.withColumn(
+                "cx", F.explode(F.expr(cx_seq.replace(f"DIV {cell}", f"DIV {max(1, cell // fine)}")))
+            )
+            .withColumn(
+                "cy", F.explode(F.expr(cy_seq.replace(f"DIV {cell}", f"DIV {max(1, cell // fine)}")))
+            )
+        )
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    marks = (
+        covered.repartition(n_part, "cx", "cy")
+        .groupBy("cx", "cy")
+        .applyInPandas(lambda pdf: _find_marks_kernel(pdf), schema=MARKS_SCHEMA)
+        .dropDuplicates(["ax", "ay", "bx", "by", "px", "py"])
+    )
+    return marks, loads
+
+
+def apply_marks_df(segs: DataFrame, marks: DataFrame) -> DataFrame:
+    """A8 as pure Column ops: group marks per segment, sort along the segment,
+    explode the sub-segment chain, renormalize direction/counts, re-merge."""
+    grouped = marks.groupBy("ax", "ay", "bx", "by").agg(
+        F.collect_set(F.struct("px", "py")).alias("mks")
+    )
+    j = segs.join(grouped, ["ax", "ay", "bx", "by"], "left")
+
+    # sort key: x asc, then y toward b (sign of by-ay); marks equal to endpoints drop
+    chain = """
+    filter(
+      array_distinct(
+        concat(
+          array(struct(ax AS px, ay AS py)),
+          array_sort(
+            transform(coalesce(mks, array()),
+                      m -> struct(m.px AS px, m.py AS py)),
+            (l, r) -> CASE WHEN l.px < r.px THEN -1 WHEN l.px > r.px THEN 1
+                           WHEN (by >= ay AND l.py < r.py) OR (by < ay AND l.py > r.py) THEN -1
+                           WHEN l.py = r.py THEN 0 ELSE 1 END
+          ),
+          array(struct(bx AS px, by AS py))
+        )
+      ),
+      p -> true
+    )
+    """
+    exploded = (
+        j.withColumn("chain", F.expr(chain))
+        .withColumn(
+            "pairs",
+            F.expr(
+                "transform(sequence(0, size(chain) - 2),"
+                " i -> struct(chain[i] AS p, chain[i+1] AS q))"
+            ),
+        )
+        .withColumn("e", F.explode("pairs"))
+        .where("e.p.px != e.q.px OR e.p.py != e.q.py")
+    )
+    fwd = F.expr("e.p.px < e.q.px OR (e.p.px = e.q.px AND e.p.py < e.q.py)")
+    out = exploded.select(
+        F.when(fwd, F.col("e.p.px")).otherwise(F.col("e.q.px")).alias("ax"),
+        F.when(fwd, F.col("e.p.py")).otherwise(F.col("e.q.py")).alias("ay"),
+        F.when(fwd, F.col("e.q.px")).otherwise(F.col("e.p.px")).alias("bx"),
+        F.when(fwd, F.col("e.q.py")).otherwise(F.col("e.p.py")).alias("by"),
+        F.when(fwd, F.col("subj")).otherwise(-F.col("subj")).alias("subj"),
+        F.when(fwd, F.col("clip")).otherwise(-F.col("clip")).alias("clip"),
+    )
+    return merge_segments_df(out)
+
+
+def split_segments_df(
+    segs: DataFrame,
+    target_per_cell: int = 2000,
+    max_rounds: int = 16,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """A9 fixpoint: repeat split rounds until no marks (rounded intersections can
+    move sub-segments onto new crossings). Each round localCheckpoints (or writes a
+    durable checkpoint when checkpoint_dir is set)."""
+    segs = merge_segments_df(segs).localCheckpoint(eager=True)
+    for rnd in range(max_rounds):
+        n = segs.count()
+        cells_per_axis = max(1, int((n / max(target_per_cell, 1)) ** 0.5))
+        marks, _ = split_round(segs, cells_per_axis)
+        marks = marks.localCheckpoint(eager=True)
+        if marks.isEmpty():
+            return segs
+        segs = apply_marks_df(segs, marks)
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/split_r{rnd}"
+            segs.write.mode("overwrite").parquet(path)
+            segs = segs.sparkSession.read.parquet(path)
+        else:
+            segs = segs.localCheckpoint(eager=True)
+    return segs
+
+
+# ---------------------------------------------------------------------------------
+# distributed fill (A10): x-strip ray-cast
+
+
+FILL_SCHEMA = StructType(
+    [
+        StructField("ax", LongType()),
+        StructField("ay", LongType()),
+        StructField("bx", LongType()),
+        StructField("by", LongType()),
+        StructField("subj", LongType()),
+        StructField("clip", LongType()),
+        StructField("fill", IntegerType()),
+    ]
+)
+
+
+def _strip_fill_kernel(fill_rule: FillRule):
+    from ..kernel.fill import compute_fills
+    from ..kernel.segments import Segments
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        local = pdf[pdf["is_home"]]
+        if local.empty:
+            return pd.DataFrame(columns=["ax", "ay", "bx", "by", "subj", "clip", "fill"])
+        # windings of home segments against ALL segments crossing the strip:
+        # compute fills on the union, then keep rows for home segments only.
+        segs = Segments(
+            pdf["ax"].to_numpy(),
+            pdf["ay"].to_numpy(),
+            pdf["bx"].to_numpy(),
+            pdf["by"].to_numpy(),
+            pdf["subj"].to_numpy(),
+            pdf["clip"].to_numpy(),
+        )
+        fills = compute_fills(segs, fill_rule)
+        mask = pdf["is_home"].to_numpy()
+        out = pdf.loc[mask, ["ax", "ay", "bx", "by", "subj", "clip"]].copy()
+        out["fill"] = fills[mask].astype("int32")
+        return out
+
+    return run
+
+
+def compute_fills_df(
+    segs: DataFrame, fill_rule: FillRule = FillRule.EVEN_ODD, n_strips: int | None = None
+) -> DataFrame:
+    """Distributed winding classification: strip-partition the x-axis on midpoint
+    quantiles; every segment is exploded into each strip it crosses and evaluated
+    (ray-cast at its own midpoint) in its home strip only.
+
+    Correct because: the downward ray at the segment's midpoint x* only crosses
+    segments whose x-span contains x*, and every such segment also crosses the home
+    strip, hence is present in the group."""
+    spark = segs.sparkSession
+    if n_strips is None:
+        n = segs.count()
+        n_strips = max(1, min(512, n // 4000))
+    # strip edges from midpoint quantiles (doubled-coordinate midpoints)
+    mids = segs.select(((F.col("ax") + F.col("bx"))).alias("mx2"))
+    if n_strips > 1:
+        qs = mids.approxQuantile("mx2", [i / n_strips for i in range(1, n_strips)], 0.001)
+        edges = sorted(set(int(q) for q in qs))
+    else:
+        edges = []
+    edges_arr = "array(" + ", ".join(str(e) + "L" for e in edges) + ")" if edges else "array()"
+
+    # strip index of a doubled-x value: number of edges <= value
+    def strip_expr(val: str) -> str:
+        if not edges:
+            return "CAST(0 AS INT)"
+        return f"CAST(size(filter({edges_arr}, e -> e <= {val})) AS INT)"
+
+    mid = "(ax + bx)"
+    lo = "(2 * ax)"
+    hi = "(2 * bx)"
+    with_strips = (
+        segs.withColumn("s_lo", F.expr(strip_expr(lo)))
+        .withColumn("s_hi", F.expr(strip_expr(hi)))
+        .withColumn("s_mid", F.expr(strip_expr(mid)))
+        .withColumn("strip", F.explode(F.expr("sequence(s_lo, s_hi)")))
+        .withColumn("is_home", F.col("strip") == F.col("s_mid"))
+        .select("ax", "ay", "bx", "by", "subj", "clip", "strip", "is_home")
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        with_strips.repartition(max(n_part, n_strips), "strip")
+        .groupBy("strip")
+        .applyInPandas(_strip_fill_kernel(fill_rule), schema=FILL_SCHEMA)
+    )
+
+
+def distributed_overlay(
+    segs: DataFrame,
+    rule: OverlayRule,
+    fill_rule: FillRule = FillRule.EVEN_ODD,
+    options: OverlayOptions | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """End-to-end distributed boolean overlay of ONE huge job.
+
+    segs: (ax, ay, bx, by, subj, clip) raw directed-normalized segments (e.g. from
+    the DataFrame segment builder). Returns rings: (shape_id, ring_id, is_hole,
+    pts_x, pts_y, area2)."""
+    from ..session import ship_package
+
+    ship_package(segs.sparkSession)
+    from .distributed_extract import extract_shapes_df
+
+    if options is None:
+        options = OverlayOptions()
+    split = split_segments_df(segs, checkpoint_dir=checkpoint_dir)
+    fills = compute_fills_df(split, fill_rule)
+    return extract_shapes_df(fills, rule, options)
+
+
+def contours_to_segments_df(spark: SparkSession, contours_df: DataFrame) -> DataFrame:
+    """(role, cid, pts_x, pts_y) contour rows -> normalized segments, pure Column ops
+    (same construct as queries.segments_build: posexplode + lead + wrap). `cid` must
+    be a caller-provided stable contour id (determinism across partitionings)."""
+    exploded = contours_df.select(
+        "role",
+        "cid",
+        F.posexplode(F.arrays_zip("pts_x", "pts_y")).alias("pos", "p"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cid").orderBy("pos")
+    nxt = exploded.select(
+        "role",
+        F.col("p.pts_x").alias("p0x"),
+        F.col("p.pts_y").alias("p0y"),
+        F.coalesce(F.lead("p.pts_x").over(w), F.first("p.pts_x").over(w)).alias("p1x"),
+        F.coalesce(F.lead("p.pts_y").over(w), F.first("p.pts_y").over(w)).alias("p1y"),
+    ).where((F.col("p0x") != F.col("p1x")) | (F.col("p0y") != F.col("p1y")))
+    fwd = (F.col("p0x") < F.col("p1x")) | (
+        (F.col("p0x") == F.col("p1x")) & (F.col("p0y") < F.col("p1y"))
+    )
+    sgn = F.when(fwd, F.lit(1)).otherwise(F.lit(-1))
+    return nxt.select(
+        F.when(fwd, F.col("p0x")).otherwise(F.col("p1x")).alias("ax"),
+        F.when(fwd, F.col("p0y")).otherwise(F.col("p1y")).alias("ay"),
+        F.when(fwd, F.col("p1x")).otherwise(F.col("p0x")).alias("bx"),
+        F.when(fwd, F.col("p1y")).otherwise(F.col("p0y")).alias("by"),
+        F.when(F.col("role") == "subject", sgn).otherwise(F.lit(0)).cast("long").alias("subj"),
+        F.when(F.col("role") == "clip", sgn).otherwise(F.lit(0)).cast("long").alias("clip"),
+    )

@@ -125,6 +125,9 @@ def overlay_pairs(
     the shuffle stays a single hash partition on the bucket key. Results are
     bucket-order independent (each pair computed in isolation).
     """
+    from ..session import ship_package
+
+    ship_package(geoms.sparkSession)
     if buckets is None:
         try:
             buckets = 8 * int(geoms.sparkSession.conf.get("spark.sql.shuffle.partitions"))

@@ -85,6 +85,9 @@ def relate_pairs(
     buckets: int | None = None,
 ) -> DataFrame:
     """One boolean predicate row per pair_id (same geoms schema as overlay_pairs)."""
+    from ..session import ship_package
+
+    ship_package(geoms.sparkSession)
     if buckets is None:
         try:
             buckets = 8 * int(geoms.sparkSession.conf.get("spark.sql.shuffle.partitions"))

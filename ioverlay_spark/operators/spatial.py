@@ -134,6 +134,166 @@ def rect_centers(rects: DataFrame, level: int = 6) -> DataFrame:
     )
 
 
+def knn_broadcast_grid(
+    points: DataFrame,
+    centers: DataFrame,
+    k: int = 3,
+    level: int | None = None,
+) -> DataFrame:
+    """Exact kNN with a BROADCAST center grid — the right physical plan when the
+    center set fits in memory (here ~MBs): centers are bucketed into a sorted cell
+    grid once, broadcast to every executor, and each partition of points answers
+    its queries map-side in vectorized numpy (cell-block gather + ring expansion
+    for stragglers). NO shuffle at all; scales linearly with point partitions.
+
+    centers: (r_id, cx2, cy2) doubled coordinates. Returns (p_id, r_id, d2, rnk).
+    """
+    from ..session import ship_package
+
+    ship_package(points.sparkSession)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = points.sparkSession
+    ctr = centers.select("r_id", "cx2", "cy2").toPandas()
+    n_centers = len(ctr)
+    if level is None:
+        level = knn_auto_level(n_centers)
+    shift = GRID_BITS - level
+    n_axis = 1 << level
+    cell_size = 1 << shift
+
+    c_id = ctr["r_id"].to_numpy(np.int64)
+    c_x2 = ctr["cx2"].to_numpy(np.int64)
+    c_y2 = ctr["cy2"].to_numpy(np.int64)
+    c_cell = (c_x2 >> (shift + 1)) * n_axis + (c_y2 >> (shift + 1))
+    order = np.argsort(c_cell, kind="stable")
+    c_id, c_x2, c_y2, c_cell = c_id[order], c_x2[order], c_y2[order], c_cell[order]
+    # CSR offsets over the dense cell space
+    starts = np.searchsorted(c_cell, np.arange(n_axis * n_axis, dtype=np.int64), side="left")
+    ends = np.searchsorted(c_cell, np.arange(n_axis * n_axis, dtype=np.int64), side="right")
+    bc = spark.sparkContext.broadcast((c_id, c_x2, c_y2, starts, ends))
+
+    def kernel(batches):
+        cid, cx2, cy2, st, en = bc.value
+
+        def gather_block(pcx, pcy, h):
+            """candidate (point_idx, center_idx) pairs for (2h+1)^2 blocks."""
+            pi_list, ci_list = [], []
+            for dx in range(-h, h + 1):
+                qx = pcx + dx
+                okx = (qx >= 0) & (qx < n_axis)
+                for dy in range(-h, h + 1):
+                    qy = pcy + dy
+                    ok = okx & (qy >= 0) & (qy < n_axis)
+                    cells = np.where(ok, qx * n_axis + qy, 0)
+                    s = np.where(ok, st[cells], 0)
+                    e = np.where(ok, en[cells], 0)
+                    cnt = e - s
+                    tot = int(cnt.sum())
+                    if tot == 0:
+                        continue
+                    pi = np.repeat(np.arange(len(pcx)), cnt)
+                    # ragged slice gather: for each point, centers s[i]:e[i]
+                    ci = np.repeat(s, cnt) + (
+                        np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                    )
+                    pi_list.append(pi)
+                    ci_list.append(ci)
+            if not pi_list:
+                return (np.empty(0, np.int64), np.empty(0, np.int64))
+            return np.concatenate(pi_list), np.concatenate(ci_list)
+
+        for pdf in batches:
+            p_id = pdf["p_id"].to_numpy(np.int64)
+            px2 = 2 * pdf["px"].to_numpy(np.int64)
+            py2 = 2 * pdf["py"].to_numpy(np.int64)
+            pcx = (px2 >> (shift + 1)).astype(np.int64)
+            pcy = (py2 >> (shift + 1)).astype(np.int64)
+            m = len(p_id)
+            out_p, out_r, out_d = [], [], []
+            todo = np.arange(m)
+            h = 1
+            while len(todo) and h < n_axis:
+                pi, ci = gather_block(pcx[todo], pcy[todo], h)
+                settled_mask = np.zeros(len(todo), dtype=bool)
+                if len(pi):
+                    d2 = (px2[todo][pi] - cx2[ci]) ** 2 + (py2[todo][pi] - cy2[ci]) ** 2
+                    # per-point top-k via lexsort on (point, d2, center id)
+                    so = np.lexsort((cid[ci], d2, pi))
+                    pi_s, ci_s, d2_s = pi[so], ci[so], d2[so]
+                    # rank within point groups
+                    grp_start = np.flatnonzero(
+                        np.concatenate(([True], pi_s[1:] != pi_s[:-1]))
+                    )
+                    rank = np.arange(len(pi_s)) - np.repeat(
+                        grp_start, np.diff(np.concatenate((grp_start, [len(pi_s)])))
+                    )
+                    topk = rank < k
+                    # settle: count per point >= k and k-th distance <= (h*cell)^2
+                    safe2 = (2 * cell_size * h) ** 2
+                    cnt_pp = np.bincount(pi_s, minlength=len(todo))
+                    kth = np.full(len(todo), np.iinfo(np.int64).max, dtype=np.int64)
+                    kth_rows = topk & (
+                        rank == np.minimum(cnt_pp[pi_s] - 1, k - 1)
+                    )
+                    kth[pi_s[kth_rows]] = d2_s[kth_rows]
+                    settled_mask = (cnt_pp >= k) & (kth <= safe2)
+                    emit = topk & settled_mask[pi_s]
+                    out_p.append(p_id[todo][pi_s[emit]])
+                    out_r.append(cid[ci_s[emit]])
+                    out_d.append(d2_s[emit])
+                todo = todo[~settled_mask]
+                h *= 2
+            if len(todo):
+                # brute against all centers for the stragglers
+                for t in todo:
+                    d2 = (px2[t] - cx2) ** 2 + (py2[t] - cy2) ** 2
+                    so = np.lexsort((cid, d2))[: min(k, len(cid))]
+                    out_p.append(np.full(len(so), p_id[t], dtype=np.int64))
+                    out_r.append(cid[so])
+                    out_d.append(d2[so])
+            if out_p:
+                op = np.concatenate(out_p)
+                orr = np.concatenate(out_r)
+                od = np.concatenate(out_d)
+                so = np.lexsort((orr, od, op))
+                op, orr, od = op[so], orr[so], od[so]
+                gs = np.flatnonzero(np.concatenate(([True], op[1:] != op[:-1])))
+                rnk = (
+                    np.arange(len(op))
+                    - np.repeat(gs, np.diff(np.concatenate((gs, [len(op)]))))
+                    + 1
+                )
+                yield pd.DataFrame(
+                    {"p_id": op, "r_id": orr, "d2": od, "rnk": rnk.astype(np.int64)}
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "p_id": pd.Series([], dtype="int64"),
+                        "r_id": pd.Series([], dtype="int64"),
+                        "d2": pd.Series([], dtype="int64"),
+                        "rnk": pd.Series([], dtype="int64"),
+                    }
+                )
+
+    schema = StructType(
+        [
+            StructField("p_id", LongType()),
+            StructField("r_id", LongType()),
+            StructField("d2", LongType()),
+            StructField("rnk", LongType()),
+        ]
+    )
+    try:
+        n_in = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_in = 64
+    return points.repartition(n_in).mapInPandas(kernel, schema=schema)
+
+
 def knn_auto_level(n_centers: int, target_per_cell: int = 8) -> int:
     """Cell level so that ~target_per_cell centers land per occupied cell.
 
@@ -168,7 +328,13 @@ def knn_cell_ring(
     cell_size = 1 << shift
     n_axis = 1 << level
 
-    pts = points.select(
+    try:
+        n_in = 2 * int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_in = 64
+    # spread the point side BEFORE the (map-side) block join: the parquet scan often
+    # has only a few input splits, which would cap the join's parallelism
+    pts = points.repartition(n_in).select(
         "p_id",
         (2 * F.col("px")).alias("px2"),
         (2 * F.col("py")).alias("py2"),
@@ -181,7 +347,11 @@ def knn_cell_ring(
         "cy2",
         F.shiftright(F.col("cx2").cast("long"), shift + 1).alias("ccx"),
         F.shiftright(F.col("cy2").cast("long"), shift + 1).alias("ccy"),
-    ).cache()
+    )
+    # centers are the small dimension side: broadcast makes every block join map-side
+    # (no shuffle; the exploded point side keeps its own partitioning). At cluster
+    # scale with a huge center set, drop the hint and let AQE pick the strategy.
+    ctr_b = F.broadcast(ctr)
 
     d2_expr = (
         (F.col("px2") - F.col("cx2")) * (F.col("px2") - F.col("cx2"))
@@ -212,7 +382,7 @@ def knn_cell_ring(
             )
         )
         cand = block.join(
-            ctr, (F.col("qcx") == F.col("ccx")) & (F.col("qcy") == F.col("ccy"))
+            ctr_b, (F.col("qcx") == F.col("ccx")) & (F.col("qcy") == F.col("ccy"))
         ).select("p_id", "px2", "py2", "pcx", "pcy", "r_id", d2_expr)
         # explicit repartition: the window's sort input is an exploded candidate set
         # whose pre-explosion byte estimate is tiny — without this, AQE coalesces the
@@ -238,7 +408,7 @@ def knn_cell_ring(
 
     if not remaining.isEmpty():
         # brute fallback for stragglers (few points x all centers)
-        cand = remaining.crossJoin(ctr).select("p_id", "px2", "py2", "r_id", d2_expr)
+        cand = remaining.crossJoin(ctr_b).select("p_id", "px2", "py2", "r_id", d2_expr)
         topk = (
             cand.repartition(n_part, "p_id")
             .withColumn("rnk", F.row_number().over(w))

@@ -711,6 +711,55 @@ FROM documents
     return QuerySpec(spark=spark_fn, oracle=oracle)
 
 
+@_register("rasterize_pixels")
+def _q_rasterize_pixels():
+    """Raster kernel correctness at the driver gate: pixels filled per doc rect at a
+    64-unit pixel grid (pixel filled iff center inside, half-open rect); oracle is
+    the closed-form center-count formula."""
+
+    def spark_fn(spark, sf_dir):
+        import pandas as pd
+
+        from .kernel.raster import rasterize
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            rows = []
+            for t in pdf.itertuples():
+                ox = (int(t.x1) // 64) * 64
+                oy = (int(t.y1) // 64) * 64
+                w = (int(t.x2) + 63) // 64 - int(t.x1) // 64
+                h = (int(t.y2) + 63) // 64 - int(t.y1) // 64
+                ring = np.array(
+                    [[t.x1, t.y1], [t.x2, t.y1], [t.x2, t.y2], [t.x1, t.y2]], dtype=np.int64
+                )
+                mask = rasterize([ring], origin=(ox, oy), size_px=(w, h), px=64)
+                rows.append((int(t.doc_id), int(mask.sum())))
+            return pd.DataFrame(rows, columns=["doc_id", "n_pixels"])
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("n_pixels", LongType())]
+        )
+        return _bucketed_apply(_rect_point_df(spark, sf_dir), kernel, schema)
+
+    r = rect_exprs("doc_id", "duckdb")
+    oracle = f"""
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {r["x1"]} AS x1, {r["y1"]} AS y1, {r["x2"]} AS x2, {r["y2"]} AS y2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(GREATEST(0, ((x2 - 33) // 64) - ((x1 + 31) // 64) + 1)
+          * GREATEST(0, ((y2 - 33) // 64) - ((y1 + 31) // 64) + 1) AS BIGINT) AS n_pixels
+FROM g
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
 @_register("pages_extract")
 def _q_pages_extract():
     """pages synthesis + byte-invertible html->text extraction (input_hint invariant):

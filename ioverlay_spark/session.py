@@ -1,0 +1,60 @@
+"""Session utilities: build a tuned SparkSession and ship the package to workers.
+
+`ship_package(spark)` zips ioverlay_spark and addPyFile's it so python workers can
+unpickle our UDF closures regardless of the driver's cwd — the same mechanism
+`spark-submit --py-files ioverlay_spark.zip` uses on a real cluster (north rule).
+Idempotent per SparkContext.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def ship_package(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, "_ioverlay_shipped", False):
+        return
+    zpath = os.path.join(tempfile.gettempdir(), f"ioverlay_spark_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _dirs, files in os.walk(_PKG_DIR):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "ioverlay_spark", os.path.relpath(full, _PKG_DIR)
+                    )
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._ioverlay_shipped = True
+
+
+def get_spark(
+    cpus: int | str = "*",
+    shuffle_partitions: int | None = None,
+    app_name: str = "ioverlay-spark",
+    driver_mem: str = "8g",
+) -> SparkSession:
+    """Local-mode session with the engine's recommended settings; on a cluster use
+    spark-submit with --py-files and the same configs."""
+    if shuffle_partitions is None:
+        shuffle_partitions = 64 if cpus == "*" else 2 * int(cpus)
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    ship_package(spark)
+    return spark

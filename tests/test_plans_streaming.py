@@ -1,0 +1,96 @@
+"""Checkpoint/resume pipeline + streaming ingestion tests (north rule: resumable
+from per-partition checkpoints with lineage + metrics; identical output hash)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_checkpointed_pipeline_resume(spark, tmp_path):
+    from ioverlay_spark.plans.checkpoint import CheckpointedPipeline
+
+    root = str(tmp_path / "ckpt")
+    calls = {"a": 0, "b": 0}
+
+    def build_a():
+        calls["a"] += 1
+        return spark.range(0, 1000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+
+    def run(pipe):
+        a = pipe.stage("stage_a", build_a)
+
+        def build_b():
+            calls["b"] += 1
+            return a.groupBy((F.col("id") % 10).alias("k")).agg(F.sum("v").alias("s"))
+
+        return pipe.stage("stage_b", build_b, inputs=("stage_a",))
+
+    p1 = CheckpointedPipeline(spark, root)
+    out1 = run(p1)
+    h1 = [s.hash for s in p1.metrics]
+    assert calls == {"a": 1, "b": 1}
+
+    # simulate a restart: new pipeline object, same root -> both stages resume
+    p2 = CheckpointedPipeline(spark, root)
+    out2 = run(p2)
+    h2 = [s.hash for s in p2.metrics]
+    assert calls == {"a": 1, "b": 1}  # nothing recomputed
+    assert h1 == h2
+    assert all(s.resumed for s in p2.metrics)
+    assert sorted(out1.collect()) == sorted(out2.collect())
+
+    # manifests carry per-partition lineage
+    m = json.load(open(os.path.join(root, "stage_b", "_manifest.json")))
+    assert m["complete"] and len(m["lineage"]) >= 1
+    assert sum(e["rows"] for e in m["lineage"]) == m["rows"]
+
+    # kill mid-pipeline: delete stage_b, keep stage_a -> only b recomputes
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "stage_b"))
+    p3 = CheckpointedPipeline(spark, root)
+    run(p3)
+    assert calls == {"a": 1, "b": 2}
+    assert [s.hash for s in p3.metrics] == h1
+
+
+def test_fixpoint_checkpoint(spark, tmp_path):
+    from ioverlay_spark.plans.checkpoint import CheckpointedPipeline
+
+    root = str(tmp_path / "fx")
+    p = CheckpointedPipeline(spark, root)
+
+    def init():
+        return spark.range(0, 64).select(F.col("id").alias("v"))
+
+    def step(df, rnd):
+        halved = df.select((F.col("v") / 2).cast("long").alias("v"))
+        done = halved.agg(F.max("v")).collect()[0][0] == 0
+        return halved, done
+
+    out = p.fixpoint("halve", init, step, max_rounds=16)
+    assert out.agg(F.max("v")).collect()[0][0] == 0
+
+
+def test_streaming_pages_to_tiles(spark, tmp_path):
+    from ioverlay_spark.sources.pages import pages_from_documents
+    from ioverlay_spark.streaming.pages_stream import stream_pages_to_tiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = pages_from_documents(docs)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    pages.write.parquet(in_dir)
+
+    q = stream_pages_to_tiles(spark, in_dir, out_dir, ck_dir)
+    q.awaitTermination(120)
+    tiles = spark.read.parquet(out_dir)
+    assert tiles.count() == docs.count()
+    assert set(tiles.columns) >= {"url", "tile", "x1", "y1", "x2", "y2"}
+
+    # second run with no new files: exactly-once, nothing re-appended
+    q2 = stream_pages_to_tiles(spark, in_dir, out_dir, ck_dir)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == docs.count()
