@@ -928,6 +928,178 @@ def _q_simhash():
     return QuerySpec(spark=spark_fn, oracle=None)
 
 
+@_register("knn_grid")
+def _q_knn_grid():
+    """kNN via the broadcast-grid map-side operator (the scale plan used by bench);
+    same closed-form oracle as the window-based knn query."""
+
+    def spark_fn(spark, sf_dir):
+        from .operators.spatial import (
+            derive_points,
+            derive_rects,
+            knn_broadcast_grid,
+            rect_centers,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pts = derive_points(docs, "doc_id")
+        ctr = rect_centers(derive_rects(docs, "doc_id")).select("r_id", "cx2", "cy2")
+        return knn_broadcast_grid(pts, ctr, k=3).select("p_id", "r_id", "d2", "rnk")
+
+    # identical oracle to "knn"
+    return QuerySpec(spark=spark_fn, oracle=REGISTRY["knn"].oracle)
+
+
+@_register("distributed_checkerboard_xor")
+def _q_distributed_checkerboard():
+    """The distributed huge-overlay pipeline on the reference's checkerboard XOR
+    scenario (performance/rust_app/src/test/test_0_checkerboard.rs) at n=12;
+    oracle is the closed-form XOR area: clip squares are fully covered by the
+    subject tiling, so area = 4c^2 (n^2 - (n-1)^2)."""
+
+    N, CELL = 12, 16
+
+    def spark_fn(spark, sf_dir):
+        from .operators.distributed import contours_to_segments_df, distributed_overlay
+        from .options import FillRule, OverlayRule
+
+        rows, k = [], 0
+        for i in range(N):
+            for j in range(N):
+                x, y = i * CELL * 2, j * CELL * 2
+                rows.append(
+                    ("subject", k, [x, x + 2 * CELL, x + 2 * CELL, x], [y, y, y + 2 * CELL, y + 2 * CELL])
+                )
+                k += 1
+        for i in range(N - 1):
+            for j in range(N - 1):
+                x, y = i * CELL * 2 + CELL, j * CELL * 2 + CELL
+                rows.append(
+                    ("clip", k, [x, x + 2 * CELL, x + 2 * CELL, x], [y, y, y + 2 * CELL, y + 2 * CELL])
+                )
+                k += 1
+        df = spark.createDataFrame(rows, ["role", "cid", "pts_x", "pts_y"])
+        out = distributed_overlay(
+            contours_to_segments_df(spark, df), OverlayRule.XOR, FillRule.EVEN_ODD
+        )
+        return out.groupBy().agg(
+            F.sum("area2").cast("long").alias("total_area2")
+        ).selectExpr(f"CAST({N} AS BIGINT) AS n", "total_area2")
+
+    expect = 2 * 4 * CELL * CELL * (N * N - (N - 1) * (N - 1))
+    oracle = f"""
+SELECT CAST({N} AS BIGINT) AS n, CAST({expect} AS BIGINT) AS total_area2
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+def _hex_digit_case(ch_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN '{c}' THEN {int(c, 16)}" for c in "0123456789abcdef"
+    )
+    return f"(CASE {ch_expr} {cases} END)"
+
+
+@_register("media_features")
+def _q_media_features():
+    """Multimodal binary columns: deterministic media payloads (chained md5 bytes)
+    + feature extraction (byte count/sum/2-bit histogram) via mapInPandas over the
+    binary column; oracle recomputes the features from the md5 HEX digits in SQL."""
+
+    N_BLOCKS = 4
+
+    def spark_fn(spark, sf_dir):
+        from .operators.multimodal import extract_features, synth_media
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        media = synth_media(docs.select("doc_id"), "doc_id", n_blocks=N_BLOCKS)
+        feats = extract_features(media)
+        return feats.selectExpr(
+            "media_id",
+            "n_bytes",
+            "sum_bytes",
+            "hist4[0] AS h0",
+            "hist4[1] AS h1",
+            "hist4[2] AS h2",
+            "hist4[3] AS h3",
+        )
+
+    # oracle: parse each md5 hex string into bytes with CASE arithmetic
+    hexes = [f"md5(CAST(doc_id AS VARCHAR) || '_{b}')" for b in range(N_BLOCKS)]
+    byte_terms = []
+    bucket_terms = {0: [], 1: [], 2: [], 3: []}
+    for b, h in enumerate(hexes):
+        for i in range(16):
+            d1 = _hex_digit_case(f"substr({h}, {2 * i + 1}, 1)")
+            d2 = _hex_digit_case(f"substr({h}, {2 * i + 2}, 1)")
+            byte_terms.append(f"(16 * {d1} + {d2})")
+            for k in range(4):
+                bucket_terms[k].append(f"(CASE WHEN ({d1} // 4) = {k} THEN 1 ELSE 0 END)")
+    sum_expr = " + ".join(byte_terms)
+    h_exprs = {k: " + ".join(v) for k, v in bucket_terms.items()}
+    oracle = f"""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST({16 * N_BLOCKS} AS BIGINT) AS n_bytes,
+       CAST({sum_expr} AS BIGINT) AS sum_bytes,
+       CAST({h_exprs[0]} AS BIGINT) AS h0,
+       CAST({h_exprs[1]} AS BIGINT) AS h1,
+       CAST({h_exprs[2]} AS BIGINT) AS h2,
+       CAST({h_exprs[3]} AS BIGINT) AS h3
+FROM documents
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("embed_ann_lsh")
+def _q_embed_ann_lsh():
+    """Approximate nearest neighbor over embeddings: random-hyperplane LSH (8 fixed
+    deterministic planes) -> bucket self-join -> cosine rank within bucket.
+    Rows-only check (approximate op; bucketing is the scale path vs brute force)."""
+
+    def spark_fn(spark, sf_dir):
+        import random
+
+        rnd = random.Random(42)
+        planes = [[rnd.choice((-1.0, 1.0)) for _ in range(64)] for _ in range(8)]
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        bucket_terms = []
+        for k, plane in enumerate(planes):
+            arr = "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
+            dot = (
+                f"aggregate(zip_with(embedding, {arr}, (x, p) -> CAST(x AS DOUBLE) * p),"
+                f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            bucket_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << k} ELSE 0 END)")
+        bucket = " + ".join(bucket_terms)
+        b = emb.selectExpr("vec_id", "embedding", f"CAST({bucket} AS BIGINT) AS bucket")
+        nrm = (
+            "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        b = b.selectExpr("vec_id", "embedding", "bucket", f"sqrt({nrm}) AS nrm")
+        l, r = b.alias("l"), b.alias("r")
+        pairs = (
+            l.join(r, "bucket")
+            .where(F.expr("l.vec_id != r.vec_id"))
+            .selectExpr(
+                "l.vec_id AS vec_id",
+                "r.vec_id AS neighbor_id",
+                "aggregate(zip_with(l.embedding, r.embedding, (x, y) -> CAST(x AS DOUBLE) * y),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (l.nrm * r.nrm) AS cos",
+            )
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "neighbor_id")
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 1)
+            .select("vec_id", "neighbor_id")
+        )
+
+    return QuerySpec(spark=spark_fn, oracle=None)
+
+
 @_register("embed_knn")
 def _q_embed_knn():
     """Brute-force cosine top-3 over the embeddings table (exact double math via
