@@ -1141,3 +1141,8 @@ SELECT vec_id, neighbor_id, rnk FROM (
 ) t WHERE rnk <= 3
 """
     return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+# extension queries (text analytics, embedding similarity, remaining geometry
+# surfaces) register themselves into REGISTRY on import
+from . import queries_ext  # noqa: E402,F401  (intentional bottom import)

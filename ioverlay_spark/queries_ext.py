@@ -1,0 +1,433 @@
+"""Extension queries: training-data text analytics, embedding similarity (near-dup,
+IVF ANN), and the remaining geometry surfaces (outline offsets, multi-rule overlay,
+self-union simplify, raster->vector roundtrip).
+
+Registered into ioverlay_spark.queries.REGISTRY — imported at the bottom of
+queries.py so __spark_entry__ sees one registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.exprgen import rect_exprs
+from .queries import (
+    QuerySpec,
+    _bucketed_apply,
+    _clip_rect_exprs,
+    _rect_point_df,
+    _register,
+    _tbl,
+)
+
+# ---------------------------------------------------------------------------------
+# text analytics (documents table)
+
+
+def _toks(dialect: str) -> str:
+    if dialect == "spark":
+        return "filter(split(text, ' '), x -> x != '')"
+    return "list_filter(str_split(text, ' '), x -> x != '')"
+
+
+def _tokcnt(words: list[str], dialect: str) -> str:
+    cond = " OR ".join(f"x = '{w}'" for w in words)
+    if dialect == "spark":
+        return f"size(filter(t, x -> {cond}))"
+    return f"len(list_filter(t, x -> {cond}))"
+
+
+@_register("quality_score")
+def _q_quality_score():
+    """Quality scoring per document: token count, distinct-token count (vocabulary
+    richness), stopword count, whitespace count — exact integer features the
+    downstream filter thresholds on."""
+
+    def shared_sql(dialect: str, docs: str) -> str:
+        size = "size" if dialect == "spark" else "len"
+        dis = "array_distinct" if dialect == "spark" else "list_distinct"
+        return f"""
+WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, {_toks(dialect)} AS t FROM {docs})
+SELECT doc_id,
+       CAST({size}(t) AS BIGINT) AS n_tokens,
+       CAST({size}({dis}(t)) AS BIGINT) AS n_distinct,
+       CAST({_tokcnt(["the", "a", "of"], dialect)} AS BIGINT) AS n_stop,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+FROM toks
+"""
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.sql(shared_sql("spark", _tbl("spark", sf_dir, "documents")))
+
+    return QuerySpec(spark=spark_fn, oracle=shared_sql("duckdb", "documents"))
+
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "y"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+@_register("lang_id")
+def _q_lang_id():
+    """Language-ID n-gram heuristic: score each language by marker-token counts,
+    predict the argmax (fixed priority order on ties), report agreement with the
+    table's lang column. Deterministic; runs entirely JVM-side."""
+
+    langs = list(_LANG_MARKERS)
+
+    def shared_sql(dialect: str, docs: str) -> str:
+        scores = ", ".join(
+            f"CAST({_tokcnt(ws, dialect)} AS BIGINT) AS s_{lg}"
+            for lg, ws in _LANG_MARKERS.items()
+        )
+        cases = []
+        for i, lg in enumerate(langs):
+            conds = " AND ".join(f"s_{lg} >= s_{o}" for o in langs[i + 1 :]) or "TRUE"
+            prior = " AND ".join(f"s_{lg} > s_{o}" for o in langs[:i]) or "TRUE"
+            cases.append(f"WHEN ({conds}) AND ({prior}) THEN '{lg}'")
+        pred = f"(CASE {' '.join(cases)} ELSE 'en' END)"
+        return f"""
+WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, {_toks(dialect)} AS t FROM {docs}),
+scored AS (SELECT doc_id, lang, {scores} FROM toks)
+SELECT doc_id, {pred} AS pred_lang, ({pred} = lang) AS agree, s_en, s_de, s_fr, s_es, s_zh
+FROM scored
+"""
+
+    def spark_fn(spark, sf_dir):
+        return spark.sql(shared_sql("spark", _tbl("spark", sf_dir, "documents")))
+
+    return QuerySpec(spark=spark_fn, oracle=shared_sql("duckdb", "documents"))
+
+
+@_register("ngram_jaccard")
+def _q_ngram_jaccard():
+    """N-gram Jaccard near-dup: 3-token shingles, adjacent-doc pairing (doc_id,
+    doc_id+1), exact intersection/union cardinalities (Jaccard = inter/uni as a
+    rational, kept integer for exact parity)."""
+
+    def shared_sql(dialect: str, docs: str) -> str:
+        if dialect == "spark":
+            shingle = (
+                "explode(transform(sequence(1, greatest(size(t) - 2, 1)), "
+                "i -> concat_ws(' ', slice(t, i, 3))))"
+            )
+            sh_cte = f"SELECT doc_id, {shingle} AS s FROM toks"
+        else:
+            shingle = (
+                "unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)), "
+                "i -> array_to_string(t[i:i+2], ' ')))"
+            )
+            sh_cte = f"SELECT doc_id, {shingle} AS s FROM toks"
+        return f"""
+WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_toks(dialect)} AS t FROM {docs}),
+sh AS ({sh_cte}),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+card AS (SELECT doc_id, COUNT(*) AS c FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id, COUNT(*) AS i
+  FROM ds a JOIN ds b ON b.doc_id = a.doc_id + 1 AND a.s = b.s
+  GROUP BY a.doc_id
+)
+SELECT ca.doc_id AS doc_a, ca.doc_id + 1 AS doc_b,
+       CAST(COALESCE(i.i, 0) AS BIGINT) AS inter,
+       CAST(ca.c + cb.c - COALESCE(i.i, 0) AS BIGINT) AS uni
+FROM card ca
+JOIN card cb ON cb.doc_id = ca.doc_id + 1
+LEFT JOIN inter i ON i.doc_id = ca.doc_id
+"""
+
+    def spark_fn(spark, sf_dir):
+        return spark.sql(shared_sql("spark", _tbl("spark", sf_dir, "documents")))
+
+    return QuerySpec(spark=spark_fn, oracle=shared_sql("duckdb", "documents"))
+
+
+# ---------------------------------------------------------------------------------
+# embedding similarity
+
+
+@_register("embed_neardup")
+def _q_embed_neardup():
+    """Embedding-cosine near-duplicate pairs (cos > 0.4), exact brute force as the
+    oracle-checkable baseline; LSH (embed_ann_lsh) / IVF (ann_ivf) are the scale
+    paths for the same question."""
+
+    def spark_fn(spark, sf_dir):
+        from .operators.similarity import neardup_pairs
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return neardup_pairs(emb, threshold=0.4)
+
+    oracle = """
+WITH e AS (SELECT vec_id, embedding, list_dot_product(embedding, embedding) AS nrm2 FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding) / sqrt(a.nrm2 * b.nrm2) > 0.4
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("ann_ivf")
+def _q_ann_ivf():
+    """IVF approximate nearest neighbor: deterministic 8-centroid coarse quantizer,
+    broadcast assignment (no shuffle of the big side), within-list top-1 cosine
+    search (shuffle on list_id only) — candidate count drops from O(N^2) to
+    O(N^2 / n_lists)."""
+
+    N_LISTS = 8
+
+    def spark_fn(spark, sf_dir):
+        from .operators.similarity import ivf_assign, ivf_centroids, ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        centroids = ivf_centroids(emb, N_LISTS)
+        assigned = ivf_assign(emb, centroids)
+        return ivf_topk(assigned, k=1).select("vec_id", "list_id", "neighbor_id")
+
+    oracle = f"""
+WITH e AS (SELECT vec_id, embedding, list_dot_product(embedding, embedding) AS nrm2 FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, embedding AS cvec, list_dot_product(embedding, embedding) AS cnrm2
+      FROM embeddings WHERE vec_id < {N_LISTS}),
+d AS (SELECT e.vec_id, e.embedding, e.nrm2, c.centroid_id,
+             e.nrm2 - 2 * list_dot_product(e.embedding, c.cvec) + c.cnrm2 AS dist2
+      FROM e CROSS JOIN c),
+asg AS (SELECT vec_id, embedding, nrm2, centroid_id AS list_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn FROM d
+        ) t WHERE rn = 1),
+p AS (SELECT l.vec_id, l.list_id, r.vec_id AS neighbor_id,
+             list_dot_product(l.embedding, r.embedding) / sqrt(l.nrm2 * r.nrm2) AS cos
+      FROM asg l JOIN asg r ON l.list_id = r.list_id AND l.vec_id != r.vec_id)
+SELECT vec_id, list_id, neighbor_id FROM (
+  SELECT vec_id, list_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM p
+) t WHERE rnk <= 1
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+# ---------------------------------------------------------------------------------
+# geometry surfaces
+
+
+@_register("outline_area")
+def _q_outline_area():
+    """M2 polygon outline: outer dilation and inner erosion of each doc rect at
+    offset d = 16 + doc_id%16, bevel join, through the mesh kernel + self-union;
+    oracle is the closed-form offset-rectangle areas."""
+
+    def spark_fn(spark, sf_dir):
+        import pandas as pd
+
+        from .kernel.buffering import LineJoin, outline
+        from .kernel.extract import ring_area2
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            rows = []
+            for t in pdf.itertuples():
+                d = 16 + int(t.doc_id) % 16
+                rect = np.array(
+                    [[t.x1, t.y1], [t.x2, t.y1], [t.x2, t.y2], [t.x1, t.y2]], dtype=np.int64
+                )
+                outer = outline([rect], outer_offset=d, join=LineJoin.BEVEL)
+                inner = outline([rect], inner_offset=d, join=LineJoin.BEVEL)
+                rows.append(
+                    (
+                        int(t.doc_id),
+                        int(sum(ring_area2(r) for s in outer for r in s)),
+                        int(sum(ring_area2(r) for s in inner for r in s)),
+                    )
+                )
+            return pd.DataFrame(rows, columns=["doc_id", "outer_area2", "inner_area2"])
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("outer_area2", LongType()),
+                StructField("inner_area2", LongType()),
+            ]
+        )
+        return _bucketed_apply(_rect_point_df(spark, sf_dir), kernel, schema)
+
+    r = rect_exprs("doc_id", "duckdb")
+    oracle = f"""
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         ({r["x2"]} - {r["x1"]}) AS w, ({r["y2"]} - {r["y1"]}) AS h,
+         (16 + CAST(doc_id AS BIGINT) % 16) AS d
+  FROM documents
+)
+SELECT doc_id,
+       CAST(2 * (w * h + 2 * d * (w + h) + 2 * d * d) AS BIGINT) AS outer_area2,
+       CAST(2 * (w - 2 * d) * (h - 2 * d) AS BIGINT) AS inner_area2
+FROM g
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+def _rect_pair_geoms(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = rect_exprs("doc_id", "spark")
+    r2 = _clip_rect_exprs("doc_id", "spark")
+
+    def ring_arrays(rr):
+        xs = (
+            f"array(CAST({rr['x1']} AS BIGINT), CAST({rr['x2']} AS BIGINT), "
+            f"CAST({rr['x2']} AS BIGINT), CAST({rr['x1']} AS BIGINT))"
+        )
+        ys = (
+            f"array(CAST({rr['y1']} AS BIGINT), CAST({rr['y1']} AS BIGINT), "
+            f"CAST({rr['y2']} AS BIGINT), CAST({rr['y2']} AS BIGINT))"
+        )
+        return xs, ys
+
+    sx, sy = ring_arrays(r)
+    cx, cy = ring_arrays(r2)
+
+    def geoms(role, shape_id, xs, ys):
+        return docs.selectExpr(
+            "CAST(doc_id AS BIGINT) AS pair_id",
+            f"'{role}' AS role",
+            f"CAST({shape_id} AS BIGINT) AS shape_id",
+            "CAST(0 AS INT) AS contour_idx",
+            f"{xs} AS pts_x",
+            f"{ys} AS pts_y",
+        )
+
+    return geoms, (sx, sy), (cx, cy)
+
+
+def _rect_pair_area_cte() -> str:
+    ra = rect_exprs("doc_id", "duckdb")
+    rb = _clip_rect_exprs("doc_id", "duckdb")
+    return f"""
+  SELECT CAST(doc_id AS BIGINT) AS pair_id,
+         ({ra["x2"]} - {ra["x1"]}) * ({ra["y2"]} - {ra["y1"]}) AS a,
+         ({rb["x2"]} - {rb["x1"]}) * ({rb["y2"]} - {rb["y1"]}) AS b,
+         GREATEST(0, LEAST({ra["x2"]}, {rb["x2"]}) - GREATEST({ra["x1"]}, {rb["x1"]}))
+       * GREATEST(0, LEAST({ra["y2"]}, {rb["y2"]}) - GREATEST({ra["y1"]}, {rb["y1"]})) AS i
+  FROM documents
+"""
+
+
+@_register("overlay_rect_multi")
+def _q_overlay_rect_multi():
+    """A16 multi-rule extraction: union/xor/difference/inverse_difference of each
+    rect pair from ONE graph build per pair (overlay_pairs computes split+fill once,
+    extracts all four rules); oracle is closed-form rectangle algebra."""
+
+    RULES = ["union", "xor", "difference", "inverse_difference"]
+
+    def spark_fn(spark, sf_dir):
+        from .operators.overlay_df import overlay_pairs
+
+        geoms, (sx, sy), (cx, cy) = _rect_pair_geoms(spark, sf_dir)
+        both = geoms("subject", 0, sx, sy).unionAll(geoms("clip", 0, cx, cy))
+        shapes = overlay_pairs(both, rules=RULES)
+        return shapes.groupBy("pair_id", "rule").agg(
+            F.sum("area2").cast("long").alias("area2")
+        )
+
+    oracle = f"""
+WITH p AS ({_rect_pair_area_cte()}),
+rules AS (
+  SELECT pair_id, 'union' AS rule, 2 * (a + b - i) AS area2 FROM p
+  UNION ALL SELECT pair_id, 'xor', 2 * (a + b - 2 * i) FROM p
+  UNION ALL SELECT pair_id, 'difference', 2 * (a - i) FROM p
+  UNION ALL SELECT pair_id, 'inverse_difference', 2 * (b - i) FROM p
+)
+SELECT pair_id, rule, CAST(area2 AS BIGINT) AS area2 FROM rules WHERE area2 > 0
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("simplify_union")
+def _q_simplify_union():
+    """A17 self-union (simplify): both rects ingested as SUBJECT contours, rule
+    Subject + NonZero fill resolves the overlap — the reference's recommended
+    "union many shapes at once" path; oracle is the closed-form union area."""
+
+    def spark_fn(spark, sf_dir):
+        from .operators.overlay_df import overlay_pairs
+
+        geoms, (sx, sy), (cx, cy) = _rect_pair_geoms(spark, sf_dir)
+        both = geoms("subject", 0, sx, sy).unionAll(geoms("subject", 1, cx, cy))
+        shapes = overlay_pairs(both, rules=["subject"], fill_rule="non_zero")
+        return shapes.groupBy("pair_id").agg(F.sum("area2").cast("long").alias("area2"))
+
+    oracle = f"""
+WITH p AS ({_rect_pair_area_cte()})
+SELECT pair_id, CAST(2 * (a + b - i) AS BIGINT) AS area2 FROM p
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("vectorize_rings")
+def _q_vectorize_rings():
+    """Raster->vector roundtrip: rasterize each doc rect on the 64-unit pixel grid,
+    vectorize the mask back to rectilinear rings (marching-squares family), report
+    ring count + exact ring area; oracle is the closed-form pixel-block geometry."""
+
+    def spark_fn(spark, sf_dir):
+        import pandas as pd
+
+        from .kernel.extract import ring_area2
+        from .kernel.raster import rasterize, vectorize
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            rows = []
+            for t in pdf.itertuples():
+                ox = (int(t.x1) // 64) * 64
+                oy = (int(t.y1) // 64) * 64
+                w = (int(t.x2) + 63) // 64 - int(t.x1) // 64
+                h = (int(t.y2) + 63) // 64 - int(t.y1) // 64
+                ring = np.array(
+                    [[t.x1, t.y1], [t.x2, t.y1], [t.x2, t.y2], [t.x1, t.y2]], dtype=np.int64
+                )
+                mask = rasterize([ring], origin=(ox, oy), size_px=(w, h), px=64)
+                rings = vectorize(mask, origin=(ox, oy), px=64)
+                if rings:
+                    rows.append(
+                        (
+                            int(t.doc_id),
+                            len(rings),
+                            int(sum(ring_area2(rg) for rg in rings)),
+                        )
+                    )
+            return pd.DataFrame(rows, columns=["doc_id", "n_rings", "area2"])
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("n_rings", LongType()),
+                StructField("area2", LongType()),
+            ]
+        )
+        return _bucketed_apply(_rect_point_df(spark, sf_dir), kernel, schema)
+
+    r = rect_exprs("doc_id", "duckdb")
+    oracle = f"""
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         GREATEST(0, (({r["x2"]} - 33) // 64) - (({r["x1"]} + 31) // 64) + 1) AS wpx,
+         GREATEST(0, (({r["y2"]} - 33) // 64) - (({r["y1"]} + 31) // 64) + 1) AS hpx
+  FROM documents
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS n_rings,
+       CAST(wpx * hpx * 8192 AS BIGINT) AS area2
+FROM g WHERE wpx > 0 AND hpx > 0
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
