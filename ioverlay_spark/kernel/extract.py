@@ -331,6 +331,7 @@ def extract_shapes(
     fills: np.ndarray,
     rule: OverlayRule,
     options: OverlayOptions,
+    ogc: bool = False,
 ) -> list[list[np.ndarray]]:
     """Full extraction: boundary filter -> reference walk -> validate -> hole binding.
 
@@ -343,17 +344,40 @@ def extract_shapes(
     holes: list[list[tuple[int, int]]] = []
     min_area2 = 2 * options.min_output_area
     for ring, hole in contours:
-        if not options.preserve_output_collinear:
-            ring = simplify_ring(list(ring))
-        if len(ring) < 3:
-            continue
-        a2 = ring_area2(ring)
-        if a2 == 0 or (min_area2 > 0 and abs(a2) < min_area2):
-            continue
-        if hole:
-            holes.append(ring)
-        else:
-            hulls.append(ring)
+        rings = [ring]
+        if ogc:
+            # S7 OGC post-pass (iOverlay/src/core/extract_ogc.rs:19-350): split any
+            # self-touching ring at repeated vertices into simple sub-rings. The walk
+            # already separates pinch points in most cases; this guarantees it.
+            from .decompose import decompose_ring
+
+            rings = decompose_ring(np.array(ring, dtype=np.int64))
+        for ring in rings:
+            if not options.preserve_output_collinear:
+                ring = simplify_ring(list(map(tuple, ring)))
+            if len(ring) < 3:
+                continue
+            a2 = ring_area2(ring)
+            if a2 == 0 or (min_area2 > 0 and abs(a2) < min_area2):
+                continue
+            if hole:
+                holes.append(ring)
+            else:
+                hulls.append(ring)
 
     shapes = bind_holes(hulls, holes)
     return [[np.array(ring, dtype=np.int64) for ring in shape] for shape in shapes]
+
+
+def extract_shapes_ogc(
+    segs: Segments,
+    fills: np.ndarray,
+    rule: OverlayRule,
+    options: OverlayOptions,
+) -> list[list[np.ndarray]]:
+    """S7 OGC-valid extraction (connected interiors; pinch-point shapes split).
+
+    The engine's walk picks the tightest turn at cross nodes, so output is already
+    OGC-shaped for plain pinches; the decompose post-pass enforces simple rings in
+    all remaining cases (reference extract_ogc, iOverlay/src/core/extract_ogc.rs:19-350)."""
+    return extract_shapes(segs, fills, rule, options, ogc=True)

@@ -55,11 +55,18 @@ MARKS_SCHEMA = StructType(
 )
 
 
-def merge_segments_df(segs: DataFrame) -> DataFrame:
-    """A2: coincident merge (reference iOverlay/src/segm/merge.rs:26-87)."""
+def merge_segments_df(segs: DataFrame, extra_aggs: dict[str, str] | None = None) -> DataFrame:
+    """A2: coincident merge (reference iOverlay/src/segm/merge.rs:26-87).
+
+    extra_aggs: payload columns carried through the pipeline (A19 edge data,
+    iOverlay/src/core/edge_data.rs:5-19) — {col: SQL agg expr} gives the user merge
+    policy for coincident segments (e.g. {"data": "bit_or(data)"} for provenance)."""
+    aggs = [F.sum("subj").alias("subj"), F.sum("clip").alias("clip")]
+    for col, expr in (extra_aggs or {}).items():
+        aggs.append(F.expr(expr).alias(col))
     return (
         segs.groupBy("ax", "ay", "bx", "by")
-        .agg(F.sum("subj").alias("subj"), F.sum("clip").alias("clip"))
+        .agg(*aggs)
         .where((F.col("subj") != 0) | (F.col("clip") != 0))
     )
 
@@ -166,9 +173,14 @@ def split_round(segs: DataFrame, cells_per_axis: int, hot_threshold: int = 20000
     return marks, loads
 
 
-def apply_marks_df(segs: DataFrame, marks: DataFrame) -> DataFrame:
+def apply_marks_df(
+    segs: DataFrame, marks: DataFrame, extra_aggs: dict[str, str] | None = None
+) -> DataFrame:
     """A8 as pure Column ops: group marks per segment, sort along the segment,
-    explode the sub-segment chain, renormalize direction/counts, re-merge."""
+    explode the sub-segment chain, renormalize direction/counts, re-merge.
+
+    Payload columns (extra_aggs keys) are duplicated onto every sub-segment — the
+    reference's default split hook (iOverlay/src/core/edge_data.rs:5-19)."""
     grouped = marks.groupBy("ax", "ay", "bx", "by").agg(
         F.collect_set(F.struct("px", "py")).alias("mks")
     )
@@ -213,8 +225,9 @@ def apply_marks_df(segs: DataFrame, marks: DataFrame) -> DataFrame:
         F.when(fwd, F.col("e.q.py")).otherwise(F.col("e.p.py")).alias("by"),
         F.when(fwd, F.col("subj")).otherwise(-F.col("subj")).alias("subj"),
         F.when(fwd, F.col("clip")).otherwise(-F.col("clip")).alias("clip"),
+        *[F.col(c) for c in (extra_aggs or {})],
     )
-    return merge_segments_df(out)
+    return merge_segments_df(out, extra_aggs)
 
 
 def split_segments_df(
@@ -222,11 +235,12 @@ def split_segments_df(
     target_per_cell: int = 2000,
     max_rounds: int = 16,
     checkpoint_dir: str | None = None,
+    extra_aggs: dict[str, str] | None = None,
 ) -> DataFrame:
     """A9 fixpoint: repeat split rounds until no marks (rounded intersections can
     move sub-segments onto new crossings). Each round localCheckpoints (or writes a
     durable checkpoint when checkpoint_dir is set)."""
-    segs = merge_segments_df(segs).localCheckpoint(eager=True)
+    segs = merge_segments_df(segs, extra_aggs).localCheckpoint(eager=True)
     for rnd in range(max_rounds):
         n = segs.count()
         cells_per_axis = max(1, int((n / max(target_per_cell, 1)) ** 0.5))
@@ -234,7 +248,7 @@ def split_segments_df(
         marks = marks.localCheckpoint(eager=True)
         if marks.isEmpty():
             return segs
-        segs = apply_marks_df(segs, marks)
+        segs = apply_marks_df(segs, marks, extra_aggs)
         if checkpoint_dir is not None:
             path = f"{checkpoint_dir}/split_r{rnd}"
             segs.write.mode("overwrite").parquet(path)

@@ -431,3 +431,203 @@ SELECT doc_id, CAST(1 AS BIGINT) AS n_rings,
 FROM g WHERE wpx > 0 AND hpx > 0
 """
     return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+# ---------------------------------------------------------------------------------
+# A19 edge provenance, A18 decomposition, S7 OGC extraction
+
+
+@_register("edge_provenance")
+def _q_edge_provenance():
+    """A19 edge-data overlay: rect-pair INTERSECT with per-edge provenance payload
+    (bit 1 = subject, bit 2 = clip, bit_or merge on coincident edges). All pairs are
+    translated into disjoint x-tiles (pair_id * 2^21) and run as ONE distributed
+    job; output is summed boundary length per (pair, provenance). Oracle: exact
+    rectangle-side provenance algebra."""
+
+    OFF = 1 << 21
+
+    def spark_fn(spark, sf_dir):
+        from .operators.edge_overlay import edge_overlay_links, included_links
+        from .options import OverlayRule
+
+        docs = _tbl("spark", sf_dir, "documents")
+        ra = rect_exprs("doc_id", "spark")
+        rb = _clip_rect_exprs("doc_id", "spark")
+        o = f"(CAST(doc_id AS BIGINT) * {OFF})"
+
+        def edges(rr, subj_cnt, clip_cnt, data):
+            x1, y1, x2, y2 = rr["x1"], rr["y1"], rr["x2"], rr["y2"]
+            rows = [
+                (f"({o} + {x1})", y1, f"({o} + {x2})", y1, 1),   # bottom
+                (f"({o} + {x2})", y1, f"({o} + {x2})", y2, 1),   # right
+                (f"({o} + {x1})", y2, f"({o} + {x2})", y2, -1),  # top (reversed)
+                (f"({o} + {x1})", y1, f"({o} + {x1})", y2, -1),  # left (reversed)
+            ]
+            return " UNION ALL ".join(
+                f"SELECT CAST({ax} AS BIGINT) AS ax, CAST({ay} AS BIGINT) AS ay, "
+                f"CAST({bx} AS BIGINT) AS bx, CAST({by} AS BIGINT) AS by, "
+                f"CAST({cnt if subj_cnt else 0} AS BIGINT) AS subj, "
+                f"CAST({cnt if clip_cnt else 0} AS BIGINT) AS clip, "
+                f"CAST({data} AS BIGINT) AS data FROM {docs}"
+                for ax, ay, bx, by, cnt in rows
+            )
+
+        segs = spark.sql(f"{edges(ra, True, False, 1)} UNION ALL {edges(rb, False, True, 2)}")
+        links = edge_overlay_links(segs, extra_aggs={"data": "bit_or(data)"})
+        inc = included_links(links, OverlayRule.INTERSECT)
+        return (
+            inc.selectExpr(
+                f"ax DIV {OFF} AS pair_id",
+                "data",
+                "abs(bx - ax) + abs(by - ay) AS seg_len",
+            )
+            .groupBy("pair_id", "data")
+            .agg(F.sum("seg_len").cast("long").alias("length"))
+        )
+
+    ra = rect_exprs("doc_id", "duckdb")
+    rb = _clip_rect_exprs("doc_id", "duckdb")
+    oracle = f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS pair_id,
+         {ra["x1"]} AS ax1, {ra["y1"]} AS ay1, {ra["x2"]} AS ax2, {ra["y2"]} AS ay2,
+         {rb["x1"]} AS bx1, {rb["y1"]} AS by1, {rb["x2"]} AS bx2, {rb["y2"]} AS by2
+  FROM documents
+),
+i AS (
+  SELECT *, GREATEST(ax1, bx1) AS ix1, LEAST(ax2, bx2) AS ix2,
+            GREATEST(ay1, by1) AS iy1, LEAST(ay2, by2) AS iy2
+  FROM p
+  WHERE LEAST(ax2, bx2) > GREATEST(ax1, bx1) AND LEAST(ay2, by2) > GREATEST(ay1, by1)
+),
+sides AS (
+  SELECT pair_id, CASE WHEN ax1 > bx1 THEN 1 WHEN bx1 > ax1 THEN 2 ELSE 3 END AS data, iy2 - iy1 AS len FROM i
+  UNION ALL SELECT pair_id, CASE WHEN ax2 < bx2 THEN 1 WHEN bx2 < ax2 THEN 2 ELSE 3 END, iy2 - iy1 FROM i
+  UNION ALL SELECT pair_id, CASE WHEN ay1 > by1 THEN 1 WHEN by1 > ay1 THEN 2 ELSE 3 END, ix2 - ix1 FROM i
+  UNION ALL SELECT pair_id, CASE WHEN ay2 < by2 THEN 1 WHEN by2 < ay2 THEN 2 ELSE 3 END, ix2 - ix1 FROM i
+)
+SELECT pair_id, CAST(data AS BIGINT) AS data, CAST(SUM(len) AS BIGINT) AS length
+FROM sides GROUP BY pair_id, data
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("decompose_bowtie")
+def _q_decompose_bowtie():
+    """A18 contour decomposition: per-doc pinched contour (visits the rect center
+    twice) splits into two simple triangles; oracle is the closed-form count and
+    total |area2| = w*h."""
+
+    def spark_fn(spark, sf_dir):
+        import pandas as pd
+
+        from .kernel.decompose import decompose_ring
+        from .kernel.extract import ring_area2
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            rows = []
+            for t in pdf.itertuples():
+                xm = t.x1 + ((t.x2 - t.x1) >> 1)
+                ym = t.y1 + ((t.y2 - t.y1) >> 1)
+                ring = np.array(
+                    [
+                        [t.x1, t.y1],
+                        [t.x2, t.y1],
+                        [xm, ym],
+                        [t.x2, t.y2],
+                        [t.x1, t.y2],
+                        [xm, ym],
+                    ],
+                    dtype=np.int64,
+                )
+                parts = decompose_ring(ring)
+                rows.append(
+                    (
+                        int(t.doc_id),
+                        len(parts),
+                        int(sum(abs(ring_area2(p)) for p in parts)),
+                    )
+                )
+            return pd.DataFrame(rows, columns=["doc_id", "n_rings", "abs_area2"])
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("n_rings", LongType()),
+                StructField("abs_area2", LongType()),
+            ]
+        )
+        return _bucketed_apply(_rect_point_df(spark, sf_dir), kernel, schema)
+
+    r = rect_exprs("doc_id", "duckdb")
+    oracle = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(2 AS BIGINT) AS n_rings,
+       CAST(({r["x2"]} - {r["x1"]}) * ({r["y2"]} - {r["y1"]}) AS BIGINT) AS abs_area2
+FROM documents
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("ogc_union_pinch")
+def _q_ogc_union_pinch():
+    """S7 OGC extraction: per-doc union of two squares touching at one corner
+    (pinch point) through extract_shapes_ogc — OGC-valid output is two separate
+    shapes; oracle is the closed-form count and area."""
+
+    def spark_fn(spark, sf_dir):
+        import pandas as pd
+
+        from .kernel.extract import extract_shapes_ogc, ring_area2
+        from .kernel.overlay import build_graph
+        from .options import DEFAULT_OPTIONS, FillRule, OverlayRule
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            rows = []
+            for t in pdf.itertuples():
+                s = 64 + (int(t.doc_id) % 64)
+
+                def sq(x0, y0):
+                    return np.array(
+                        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]],
+                        dtype=np.int64,
+                    )
+
+                g = build_graph(
+                    [sq(t.x1, t.y1), sq(t.x1 + s, t.y1 + s)], [], FillRule.NON_ZERO
+                )
+                shapes = extract_shapes_ogc(
+                    g.segments, g.fills, OverlayRule.SUBJECT, DEFAULT_OPTIONS
+                )
+                rows.append(
+                    (
+                        int(t.doc_id),
+                        len(shapes),
+                        int(sum(ring_area2(r) for sh in shapes for r in sh)),
+                    )
+                )
+            return pd.DataFrame(rows, columns=["doc_id", "n_shapes", "area2"])
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("n_shapes", LongType()),
+                StructField("area2", LongType()),
+            ]
+        )
+        return _bucketed_apply(_rect_point_df(spark, sf_dir), kernel, schema)
+
+    oracle = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(2 AS BIGINT) AS n_shapes,
+       CAST(4 * (64 + CAST(doc_id AS BIGINT) % 64) * (64 + CAST(doc_id AS BIGINT) % 64) AS BIGINT) AS area2
+FROM documents
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
