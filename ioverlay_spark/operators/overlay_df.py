@@ -58,8 +58,11 @@ def _overlay_kernel_factory(rules, fill_rule, options):
     fill_rule = FillRule(fill_rule)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        """One call per BUCKET of pairs: iterate pairs inside the Arrow batch so the
-        per-group pandas overhead amortizes over many small jobs."""
+        """One call per BUCKET of pairs: all jobs of the Arrow batch run through the
+        batched tile kernel (kernel/batch.py) — one vectorized sort/merge/split/fill
+        pass for the whole bucket, bit-identical to per-pair runs."""
+        from ..kernel.batch import overlay_batch
+
         out_pair, out_rule, out_sid, out_cid, out_x, out_y, out_a2 = [], [], [], [], [], [], []
         order = np.argsort(pdf["pair_id"].to_numpy(), kind="stable")
         pid_arr = pdf["pair_id"].to_numpy()[order]
@@ -67,6 +70,8 @@ def _overlay_kernel_factory(rules, fill_rule, options):
         xs_arr = pdf["pts_x"].to_numpy()[order]
         ys_arr = pdf["pts_y"].to_numpy()[order]
         n = len(pid_arr)
+        jobs = []
+        job_ids = []
         i = 0
         while i < n:
             pair_id = int(pid_arr[i])
@@ -81,9 +86,11 @@ def _overlay_kernel_factory(rules, fill_rule, options):
                 )
                 (subj if role_arr[i] == "subject" else clip).append(ring)
                 i += 1
-            graph = build_graph(subj, clip, fill_rule, options)
+            jobs.append((subj, clip))
+            job_ids.append(pair_id)
+        for pair_id, result in zip(job_ids, overlay_batch(jobs, rules, fill_rule, options)):
             for rule in rules:
-                for sid, shape in enumerate(graph.extract(rule)):
+                for sid, shape in enumerate(result[rule]):
                     for cid, ring in enumerate(shape):
                         out_pair.append(pair_id)
                         out_rule.append(rule.value)
@@ -155,3 +162,67 @@ def contours_to_geoms_rows(pair_id, role, contours) -> list[tuple]:
         ring = np.asarray(ring, dtype=np.int64)
         rows.append((pair_id, role, 0, i, ring[:, 0].tolist(), ring[:, 1].tolist()))
     return rows
+
+
+def overlay_rows(
+    rows: DataFrame,
+    rules: list[str | OverlayRule],
+    fill_rule: str | FillRule = FillRule.EVEN_ODD,
+    options: OverlayOptions = DEFAULT_OPTIONS,
+) -> DataFrame:
+    """Zero-shuffle overlay for pairs that are already co-located in ONE row:
+    (pair_id, subj_x, subj_y, clip_x, clip_y) -> shapes_out rows.
+
+    This is the scan-side fast path for the input_hint's layout — each web page row
+    carries its own geo payload and clip region — so the plan is parquet scan ->
+    mapInPandas -> (optional) aggregation, with no repartition at all. Multi-contour
+    jobs use overlay_pairs (grouped by pair_id) instead.
+
+    Multiple rules extract from one graph build per pair (A16 reuse,
+    iOverlay/src/core/overlay.rs:303-313), batched through kernel/batch.py."""
+    from ..session import ship_package
+
+    ship_package(rows.sparkSession)
+    rule_objs = [OverlayRule(r) for r in rules]
+    fr = FillRule(fill_rule)
+
+    def kernel(it):
+        from ..kernel.batch import overlay_batch
+
+        for pdf in it:
+            pids = pdf["pair_id"].to_numpy()
+            jobs = [
+                (
+                    [np.stack([np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64)], axis=1)],
+                    [np.stack([np.asarray(c, dtype=np.int64), np.asarray(d, dtype=np.int64)], axis=1)],
+                )
+                for a, b, c, d in zip(
+                    pdf["subj_x"], pdf["subj_y"], pdf["clip_x"], pdf["clip_y"]
+                )
+            ]
+            res = overlay_batch(jobs, rule_objs, fr, options)
+            op, orr, osid, ocid, ox, oy, oa = [], [], [], [], [], [], []
+            for pid, r in zip(pids, res):
+                for rule in rule_objs:
+                    for sid, shape in enumerate(r[rule]):
+                        for cid, ring in enumerate(shape):
+                            op.append(int(pid))
+                            orr.append(rule.value)
+                            osid.append(sid)
+                            ocid.append(cid)
+                            ox.append(ring[:, 0].tolist())
+                            oy.append(ring[:, 1].tolist())
+                            oa.append(ring_area2(ring))
+            yield pd.DataFrame(
+                {
+                    "pair_id": pd.Series(op, dtype="int64"),
+                    "rule": pd.Series(orr, dtype="object"),
+                    "shape_id": pd.Series(osid, dtype="int64"),
+                    "contour_idx": pd.Series(ocid, dtype="int32"),
+                    "pts_x": pd.Series(ox, dtype="object"),
+                    "pts_y": pd.Series(oy, dtype="object"),
+                    "area2": pd.Series(oa, dtype="int64"),
+                }
+            )
+
+    return rows.mapInPandas(kernel, schema=SHAPES_OUT_SCHEMA)

@@ -631,3 +631,44 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(2 AS BIGINT) AS n_shapes,
 FROM documents
 """
     return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("overlay_rows_fast")
+def _q_overlay_rows_fast():
+    """Zero-shuffle rowwise overlay (scan -> mapInPandas, no repartition): same
+    rect-pair INTERSECT semantics as overlay_rect_intersect but with both geometries
+    co-located in one input row — the scan-side fast path for per-page payloads."""
+
+    def spark_fn(spark, sf_dir):
+        from .operators.overlay_df import overlay_rows
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        r = rect_exprs("doc_id", "spark")
+        r2 = _clip_rect_exprs("doc_id", "spark")
+
+        def ring_arrays(rr):
+            xs = (
+                f"array(CAST({rr['x1']} AS BIGINT), CAST({rr['x2']} AS BIGINT), "
+                f"CAST({rr['x2']} AS BIGINT), CAST({rr['x1']} AS BIGINT))"
+            )
+            ys = (
+                f"array(CAST({rr['y1']} AS BIGINT), CAST({rr['y1']} AS BIGINT), "
+                f"CAST({rr['y2']} AS BIGINT), CAST({rr['y2']} AS BIGINT))"
+            )
+            return xs, ys
+
+        sx, sy = ring_arrays(r)
+        cx, cy = ring_arrays(r2)
+        rows = docs.selectExpr(
+            "CAST(doc_id AS BIGINT) AS pair_id",
+            f"{sx} AS subj_x",
+            f"{sy} AS subj_y",
+            f"{cx} AS clip_x",
+            f"{cy} AS clip_y",
+        )
+        shapes = overlay_rows(rows, rules=["intersect"])
+        return shapes.groupBy("pair_id").agg(F.sum("area2").cast("long").alias("area2"))
+
+    from .queries import REGISTRY
+
+    return QuerySpec(spark=spark_fn, oracle=REGISTRY["overlay_rect_intersect"].oracle)
