@@ -672,3 +672,55 @@ def _q_overlay_rows_fast():
     from .queries import REGISTRY
 
     return QuerySpec(spark=spark_fn, oracle=REGISTRY["overlay_rect_intersect"].oracle)
+
+
+@_register("pages_pruned_scan")
+def _q_pages_pruned_scan():
+    """S9/north rule: Iceberg-style pages table (snapshot manifest, hive partition
+    dirs by integer warc day) scanned with file pruning; result = per-lang rollup of
+    the selected window PLUS the pruning metrics (files_total/files_selected), all
+    oracle-checked — one file per day makes file counts == distinct-day counts."""
+
+    D0, D1 = 19800, 19900  # epoch-day window
+
+    def spark_fn(spark, sf_dir):
+        import tempfile
+
+        from .sources.iceberg_lite import read_table, write_table
+        from .sources.pages import pages_from_documents
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = pages_from_documents(docs).withColumn(
+            "warc_day_int", (F.col("warc_ts").cast("long") / 86400).cast("long")
+        )
+        root = tempfile.mkdtemp(prefix="iceberg_pages_") + "/pages"
+        write_table(
+            pages.repartition("warc_day_int"), root, partition_by=["warc_day_int"]
+        )
+        df, report = read_table(
+            spark, root, filters=[("warc_day_int", ">=", D0), ("warc_day_int", "<", D1)]
+        )
+        return (
+            df.where((F.col("warc_day_int") >= D0) & (F.col("warc_day_int") < D1))
+            .groupBy("lang")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.length("text")).cast("long").alias("sum_chars"),
+            )
+            .withColumn("files_total", F.lit(report.files_total).cast("long"))
+            .withColumn("files_selected", F.lit(report.files_selected).cast("long"))
+        )
+
+    oracle = f"""
+WITH p AS (
+  SELECT lang, text,
+         ((1704067200 + (CAST(doc_id AS BIGINT) * 100003) % 31536000) // 86400) AS d
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST((SELECT COUNT(DISTINCT d) FROM p) AS BIGINT) AS files_total,
+       CAST((SELECT COUNT(DISTINCT d) FROM p WHERE d >= {D0} AND d < {D1}) AS BIGINT) AS files_selected
+FROM p WHERE d >= {D0} AND d < {D1} GROUP BY lang
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)

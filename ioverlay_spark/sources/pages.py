@@ -38,7 +38,7 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.expr(url_sql("spark")).alias("url"),
         F.timestamp_seconds(
-            F.lit(1704067200) + (F.col("doc_id") * 137) % 31536000
+            F.lit(1704067200) + (F.col("doc_id") * 100003) % 31536000
         ).alias("warc_ts"),
         F.encode(html_str, "UTF-8").alias("html"),
         F.col("text"),
