@@ -724,3 +724,28 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM p WHERE d >= {D0} AND d < {D1} GROUP BY lang
 """
     return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("knn_ring")
+def _q_knn_ring():
+    """kNN via phased cell-neighborhood (ring) expansion — the north rule's named
+    strategy: cell-key equi-joins over growing blocks, settled-point elimination,
+    brute-force only for stragglers. Same closed-form oracle as the window/broadcast
+    kNN queries (all three strategies must agree exactly)."""
+
+    def spark_fn(spark, sf_dir):
+        from .operators.spatial import (
+            derive_points,
+            derive_rects,
+            knn_cell_ring,
+            rect_centers,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pts = derive_points(docs, "doc_id")
+        ctr = rect_centers(derive_rects(docs, "doc_id")).select("r_id", "cx2", "cy2")
+        return knn_cell_ring(pts, ctr, k=3).select("p_id", "r_id", "d2", "rnk")
+
+    from .queries import REGISTRY
+
+    return QuerySpec(spark=spark_fn, oracle=REGISTRY["knn"].oracle)
