@@ -749,3 +749,64 @@ def _q_knn_ring():
     from .queries import REGISTRY
 
     return QuerySpec(spark=spark_fn, oracle=REGISTRY["knn"].oracle)
+
+
+@_register("float_overlay")
+def _q_float_overlay():
+    """Float-shell flagship (reference FloatOverlay lifecycle, SURVEY.md §3.1):
+    float rect pairs on a 1/64 grid -> two-pass adapter fit (agg min/max) ->
+    exact quantize Columns -> integer overlay kernel -> dequantize. Exact
+    roundtrip (power-of-two scale), so area x 64^2 equals the integer closed form."""
+
+    def spark_fn(spark, sf_dir):
+        from .functions.adapter import fit_adapter
+        from .operators.overlay_df import overlay_rows
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        r = rect_exprs("doc_id", "spark")
+        r2 = _clip_rect_exprs("doc_id", "spark")
+
+        def ring_arrays(rr):
+            xs = (
+                f"array(CAST({rr['x1']} AS DOUBLE)/64, CAST({rr['x2']} AS DOUBLE)/64, "
+                f"CAST({rr['x2']} AS DOUBLE)/64, CAST({rr['x1']} AS DOUBLE)/64)"
+            )
+            ys = (
+                f"array(CAST({rr['y1']} AS DOUBLE)/64, CAST({rr['y1']} AS DOUBLE)/64, "
+                f"CAST({rr['y2']} AS DOUBLE)/64, CAST({rr['y2']} AS DOUBLE)/64)"
+            )
+            return xs, ys
+
+        sx, sy = ring_arrays(r)
+        cx, cy = ring_arrays(r2)
+        frows = docs.selectExpr(
+            "CAST(doc_id AS BIGINT) AS pair_id",
+            f"{sx} AS fsubj_x",
+            f"{sy} AS fsubj_y",
+            f"{cx} AS fclip_x",
+            f"{cy} AS fclip_y",
+        )
+        adapter = fit_adapter(
+            frows, ["fsubj_x", "fclip_x"], ["fsubj_y", "fclip_y"]
+        )
+        q = frows.select(
+            "pair_id",
+            F.transform("fsubj_x", lambda c: adapter.quantize_x(c)).alias("subj_x"),
+            F.transform("fsubj_y", lambda c: adapter.quantize_y(c)).alias("subj_y"),
+            F.transform("fclip_x", lambda c: adapter.quantize_x(c)).alias("clip_x"),
+            F.transform("fclip_y", lambda c: adapter.quantize_y(c)).alias("clip_y"),
+        )
+        shapes = overlay_rows(q, rules=["intersect"])
+        # dequantize the doubled area to float units, then express in 1/64-grid
+        # integer units (x 64^2) — exact because the scale is a power of two
+        return shapes.groupBy("pair_id").agg(
+            F.round(
+                F.sum(adapter.dequantize_area2(F.col("area2"))) * F.lit(4096.0)
+            )
+            .cast("long")
+            .alias("area2")
+        )
+
+    from .queries import REGISTRY
+
+    return QuerySpec(spark=spark_fn, oracle=REGISTRY["overlay_rect_intersect"].oracle)

@@ -94,3 +94,48 @@ def test_streaming_pages_to_tiles(spark, tmp_path):
     q2 = stream_pages_to_tiles(spark, in_dir, out_dir, ck_dir)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == docs.count()
+
+
+def test_stateful_tile_counts_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: per-tile running totals accumulate across two
+    availableNow runs through the same checkpoint (state restored, not reset)."""
+    from pyspark.sql import functions as F
+
+    from ioverlay_spark.sources.pages import pages_from_documents
+    from ioverlay_spark.streaming.pages_stream import stateful_tile_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = pages_from_documents(docs)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    schema = pages.schema
+
+    out_dir = str(tmp_path / "out")
+    pages.where(F.col("lang") == "en").write.mode("append").parquet(in_dir)
+    q = stateful_tile_counts(spark, in_dir, ckpt, schema=schema, output_dir=out_dir)
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(out_dir)
+    max_bid1 = out1.agg(F.max("batch_id")).collect()[0][0]
+    t1 = {
+        r["tile"]: r["total_pages"]
+        for r in out1.where(F.col("batch_id") == max_bid1).collect()
+    }
+    n_en = pages.where(F.col("lang") == "en").count()
+    assert sum(t1.values()) == n_en
+
+    # second drop of files -> state must ACCUMULATE (checkpoint-restored)
+    pages.where(F.col("lang") != "en").write.mode("append").parquet(in_dir)
+    q2 = stateful_tile_counts(spark, in_dir, ckpt, schema=schema, output_dir=out_dir)
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(out_dir)
+    max_bid2 = out2.agg(F.max("batch_id")).collect()[0][0]
+    assert max_bid2 > max_bid1
+    rows2 = out2.where(F.col("batch_id") == max_bid2).collect()
+    t2 = {r["tile"]: (r["total_pages"], r["batches"]) for r in rows2}
+    # final totals: updated tiles hold their cumulative count; untouched tiles
+    # keep their batch-1 value — together they cover every page exactly once
+    assert sum(tp for tp, _ in t2.values()) + sum(
+        v for k, v in t1.items() if k not in t2
+    ) == pages.count()
+    # at least one tile saw both micro-batches (state restored, not reset)
+    assert any(b == 2 for _, b in t2.values())
