@@ -297,6 +297,10 @@ def overlay_batch(
     starts = np.searchsorted(segs.ax, np.arange(nj + 1, dtype=np.int64) * W)
     seg_tile = np.searchsorted(starts, np.arange(n, dtype=np.int64), side="right") - 1
     all_fills = _fills_batch(segs, fill_rule, starts[seg_tile])
+    # boundary masks per rule, computed ONCE over the whole batch and sliced per tile
+    from .extract import boundary_mask
+
+    rule_masks = {rule: boundary_mask(all_fills, rule) for rule in rules}
     for slot in range(nj):
         lo, hi = int(starts[slot]), int(starts[slot + 1])
         if lo == hi:
@@ -311,5 +315,7 @@ def overlay_batch(
         )
         fills = all_fills[lo:hi]
         for rule in rules:
-            results[slot][rule] = extract_shapes(sub, fills, rule, options)
+            results[slot][rule] = extract_shapes(
+                sub, fills, rule, options, boundary=rule_masks[rule][lo:hi]
+            )
     return results

@@ -158,10 +158,17 @@ class _LinkGraph:
 
 
 def walk_contours(
-    segs: Segments, fills: np.ndarray, rule: OverlayRule, clockwise_output: bool
+    segs: Segments,
+    fills: np.ndarray,
+    rule: OverlayRule,
+    clockwise_output: bool,
+    boundary: np.ndarray | None = None,
 ) -> list[tuple[list[tuple[int, int]], bool]]:
-    """Extract all contours for a rule. Returns [(ring_points, is_hole)]."""
-    mask = boundary_mask(fills, rule)
+    """Extract all contours for a rule. Returns [(ring_points, is_hole)].
+
+    boundary: optional precomputed boundary_mask(fills, rule) — the batch kernel
+    computes it once per rule over a whole batch and slices per tile."""
+    mask = boundary_mask(fills, rule) if boundary is None else boundary
     idx = np.flatnonzero(mask)
     if len(idx) == 0:
         return []
@@ -332,13 +339,14 @@ def extract_shapes(
     rule: OverlayRule,
     options: OverlayOptions,
     ogc: bool = False,
+    boundary: np.ndarray | None = None,
 ) -> list[list[np.ndarray]]:
     """Full extraction: boundary filter -> reference walk -> validate -> hole binding.
 
     Returns shapes: list of [hull, hole, hole, ...] rings as (n,2) int64 arrays.
     """
     clockwise_output = options.output_direction == ContourDirection.CLOCKWISE
-    contours = walk_contours(segs, fills, rule, clockwise_output)
+    contours = walk_contours(segs, fills, rule, clockwise_output, boundary)
 
     hulls: list[list[tuple[int, int]]] = []
     holes: list[list[tuple[int, int]]] = []

@@ -810,3 +810,42 @@ def _q_float_overlay():
     from .queries import REGISTRY
 
     return QuerySpec(spark=spark_fn, oracle=REGISTRY["overlay_rect_intersect"].oracle)
+
+
+@_register("dedup_clusters")
+def _q_dedup_clusters():
+    """Near-dup clustering: Jaccard candidate pairs (any shared 3-shingle between
+    adjacent docs) -> distributed connected components (alternating-star label
+    propagation, O(log n) rounds) -> cluster id = min doc id of the component.
+    Oracle: gaps-and-islands over the consecutive-pair edge chain (exact)."""
+
+    def spark_fn(spark, sf_dir):
+        from .operators.distributed_extract import connected_components
+        from .queries import REGISTRY
+
+        jacc = REGISTRY["ngram_jaccard"].spark(spark, sf_dir)
+        edges = jacc.where(F.col("inter") >= 1).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+        cc = connected_components(edges)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+        return docs.join(
+            cc.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce("component", "doc_id").cast("long").alias("cluster")
+        )
+
+    from .queries import REGISTRY
+
+    jacc_oracle = REGISTRY["ngram_jaccard"].oracle
+    oracle = f"""
+WITH j AS ({jacc_oracle}),
+e AS (SELECT doc_a FROM j WHERE inter >= 1),
+d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+starts AS (SELECT doc_id FROM d WHERE doc_id - 1 NOT IN (SELECT doc_a FROM e))
+SELECT doc_id, (SELECT MAX(s.doc_id) FROM starts s WHERE s.doc_id <= d.doc_id) AS cluster
+FROM d
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
