@@ -17,11 +17,10 @@ from pyspark.sql import SparkSession
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-def ship_package(spark: SparkSession) -> None:
-    sc = spark.sparkContext
-    if getattr(sc, "_ioverlay_shipped", False):
-        return
-    zpath = os.path.join(tempfile.gettempdir(), f"ioverlay_spark_{os.getpid()}.zip")
+def build_package_zip(zpath: str | None = None) -> str:
+    """Zip the ioverlay_spark package for --py-files / addPyFile shipping."""
+    if zpath is None:
+        zpath = os.path.join(tempfile.gettempdir(), f"ioverlay_spark_{os.getpid()}.zip")
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
             for root, _dirs, files in os.walk(_PKG_DIR):
@@ -33,7 +32,14 @@ def ship_package(spark: SparkSession) -> None:
                         "ioverlay_spark", os.path.relpath(full, _PKG_DIR)
                     )
                     z.write(full, rel)
-    sc.addPyFile(zpath)
+    return zpath
+
+
+def ship_package(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, "_ioverlay_shipped", False):
+        return
+    sc.addPyFile(build_package_zip())
     sc._ioverlay_shipped = True
 
 
