@@ -1146,3 +1146,4 @@ SELECT vec_id, neighbor_id, rnk FROM (
 # extension queries (text analytics, embedding similarity, remaining geometry
 # surfaces) register themselves into REGISTRY on import
 from . import queries_ext  # noqa: E402,F401  (intentional bottom import)
+from . import queries_rel  # noqa: E402,F401  (intentional bottom import)

@@ -134,3 +134,12 @@ def test_ivf_assign_broadcasts_centroids(spark):
     p = plan_str(df)
     assert "BroadcastExchange" in p
     assert "SortMergeJoin" not in p
+
+
+def test_dim_join_broadcasts(spark):
+    import ioverlay_spark.queries as q
+
+    df = q.REGISTRY["dim_join_rollup"].spark(spark, SF)
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
