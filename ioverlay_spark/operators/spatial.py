@@ -71,6 +71,9 @@ def pip_join(points: DataFrame, rects: DataFrame, level: int = 6) -> DataFrame:
     level so covers stay small (and by salting in the distributed split pipeline)."""
     pts = with_cell(points, "px", "py", level)
     cover = rect_cover(rects, level)
+    # no dedup needed: each point has exactly ONE cell and a rect covers any cell
+    # at most once, so a (p_id, r_id) candidate can only appear once — skipping
+    # the distinct saves a full shuffle of the output
     return (
         pts.join(cover, "cell")
         .where(
@@ -80,7 +83,6 @@ def pip_join(points: DataFrame, rects: DataFrame, level: int = 6) -> DataFrame:
             & (F.col("py") < F.col("y2"))
         )
         .select("p_id", "r_id")
-        .distinct()
     )
 
 
