@@ -849,3 +849,47 @@ SELECT doc_id, (SELECT MAX(s.doc_id) FROM starts s WHERE s.doc_id <= d.doc_id) A
 FROM d
 """
     return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("media_resample")
+def _q_media_resample():
+    """Multimodal resample (frame-sample analog): every 4th payload byte kept via
+    the binary-in/binary-out mapInPandas operator; oracle recomputes the strided
+    byte sum + new width from the md5 hex digits in SQL."""
+
+    N_BLOCKS, STRIDE = 4, 4
+
+    def spark_fn(spark, sf_dir):
+        from .operators.multimodal import resample_payload, synth_media
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        media = synth_media(docs.select("doc_id"), "doc_id", n_blocks=N_BLOCKS)
+        res = resample_payload(media, stride=STRIDE)
+        return res.selectExpr(
+            "media_id",
+            "CAST(width AS BIGINT) AS new_width",
+            "CAST(length(payload) AS BIGINT) AS n_bytes",
+            "CAST(aggregate(transform(sequence(1, length(payload)), "
+            "i -> CAST(unhex(hex(substr(payload, i, 1))) AS BINARY)), "
+            "CAST(0 AS BIGINT), (acc, b) -> acc + CAST(conv(hex(b), 16, 10) AS BIGINT)) AS BIGINT) AS sum_bytes",
+        )
+
+    from .queries import _hex_digit_case
+
+    # strided byte positions: global index g in 0, 4, 8, ... over 16*N_BLOCKS bytes;
+    # byte g lives in block g//16 at offset g%16 -> hex digits 2*(g%16)+1, +2
+    terms = []
+    for g in range(0, 16 * N_BLOCKS, STRIDE):
+        h = f"md5(CAST(doc_id AS VARCHAR) || '_{g // 16}')"
+        d1 = _hex_digit_case(f"substr({h}, {2 * (g % 16) + 1}, 1)")
+        d2 = _hex_digit_case(f"substr({h}, {2 * (g % 16) + 2}, 1)")
+        terms.append(f"(16 * {d1} + {d2})")
+    n_kept = len(terms)
+    oracle = f"""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST((16 + (doc_id % 48)) // {STRIDE} AS BIGINT) AS new_width,
+       CAST({n_kept} AS BIGINT) AS n_bytes,
+       CAST({" + ".join(terms)} AS BIGINT) AS sum_bytes
+FROM documents
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)

@@ -139,3 +139,39 @@ def test_stateful_tile_counts_state_survives_restart(spark, tmp_path):
     ) == pages.count()
     # at least one tile saw both micro-batches (state restored, not reset)
     assert any(b == 2 for _, b in t2.values())
+
+
+def test_windowed_page_rates_matches_batch(spark, tmp_path):
+    """Watermark + event-time windowed agg over a stream == the same agg in batch
+    (availableNow drain, complete-mode memory sink)."""
+    from pyspark.sql import functions as F
+
+    from ioverlay_spark.sources.pages import pages_from_documents
+    from ioverlay_spark.streaming.pages_stream import windowed_page_rates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = pages_from_documents(docs)
+    in_dir = str(tmp_path / "win_in")
+    pages.write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(pages.schema).parquet(in_dir)
+    q = (
+        windowed_page_rates(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("win_rates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"], r["lang"]): r["n_pages"]
+        for r in spark.sql("SELECT * FROM win_rates").collect()
+    }
+    want = {
+        (r["window"]["start"], r["lang"]): r["n_pages"]
+        for r in pages.groupBy(F.window("warc_ts", "10 minutes"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
