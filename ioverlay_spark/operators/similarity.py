@@ -133,3 +133,39 @@ def ivf_topk(assigned: DataFrame, k: int = 1) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("vec_id", "list_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def ivf_kmeans_refine(
+    emb: DataFrame,
+    centroids: DataFrame,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of the coarse quantizer: assign (broadcast) -> per-list
+    element-wise mean -> new centroids. Means are computed over DECIMAL(38,18)
+    sums, which are exact and associative — the result is bit-deterministic
+    regardless of partitioning/summation order (unlike double sums).
+
+    Returns the refined centroids DataFrame (centroid_id, cvec). The lists stay
+    tiny (n_lists x dim doubles), so each iteration collects them to the driver
+    and rebroadcasts — the assign job over the big side stays shuffle-free."""
+    spark = emb.sparkSession
+    for _ in range(n_iters):
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
+        means = (
+            assigned.select("list_id", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(
+                F.avg(F.col("x").cast("decimal(38,18)")).cast("double").alias("m")
+            )
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(int(r["list_id"]), {})[int(r["pos"])] = float(r["m"])
+        rows = [
+            (lid, [vals[p] for p in sorted(vals)]) for lid, vals in sorted(by_list.items())
+        ]
+        centroids = spark.createDataFrame(rows, ["centroid_id", "cvec"])
+    return centroids

@@ -893,3 +893,27 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
 FROM documents
 """
     return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
+@_register("ann_ivf_kmeans")
+def _q_ann_ivf_kmeans():
+    """IVF with 2 Lloyd refinement iterations of the coarse quantizer (decimal-sum
+    means: deterministic under any partitioning), then within-list top-1 search.
+    Approximate op with float centroids — rows-only driver check; determinism is
+    covered by tests/test_ivf_kmeans.py."""
+
+    def spark_fn(spark, sf_dir):
+        from .operators.similarity import (
+            ivf_assign,
+            ivf_centroids,
+            ivf_kmeans_refine,
+            ivf_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        seeds = ivf_centroids(emb, 8)
+        refined = ivf_kmeans_refine(emb, seeds, n_iters=2)
+        assigned = ivf_assign(emb, refined)
+        return ivf_topk(assigned, k=1).select("vec_id", "list_id", "neighbor_id")
+
+    return QuerySpec(spark=spark_fn, oracle=None)
