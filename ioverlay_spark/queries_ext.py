@@ -917,3 +917,62 @@ def _q_ann_ivf_kmeans():
         return ivf_topk(assigned, k=1).select("vec_id", "list_id", "neighbor_id")
 
     return QuerySpec(spark=spark_fn, oracle=None)
+
+
+@_register("relate_float")
+def _q_relate_float():
+    """P7 float predicate API (reference FloatRelate / FixedScaleFloatRelate,
+    iOverlay/src/float/relate.rs, float/scale.rs): float rects on a 1/64 grid ->
+    fixed-scale adapter quantize -> integer predicate kernel. Exact roundtrip, so
+    the oracle is the same closed-form rectangle relation algebra as relate_rects."""
+
+    def spark_fn(spark, sf_dir):
+        from .functions.adapter import fixed_scale_adapter
+        from .operators.relate_df import relate_pairs
+        from .queries import _relate_clip_exprs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        r = rect_exprs("doc_id", "spark")
+        c = _relate_clip_exprs("doc_id", "spark")
+        adapter = fixed_scale_adapter(1 / 64.0)  # scale 64: 1/64-grid floats -> ints
+
+        def ring(rr):
+            # float coordinates (exact 1/64 multiples), quantized back by the adapter
+            xs = (
+                f"array(CAST({rr['x1']} AS DOUBLE)/64, CAST({rr['x2']} AS DOUBLE)/64, "
+                f"CAST({rr['x2']} AS DOUBLE)/64, CAST({rr['x1']} AS DOUBLE)/64)"
+            )
+            ys = (
+                f"array(CAST({rr['y1']} AS DOUBLE)/64, CAST({rr['y1']} AS DOUBLE)/64, "
+                f"CAST({rr['y2']} AS DOUBLE)/64, CAST({rr['y2']} AS DOUBLE)/64)"
+            )
+            return xs, ys
+
+        sx, sy = ring(r)
+        cx, cy = ring(c)
+
+        def geoms(role, xs, ys):
+            base = docs.selectExpr(
+                "CAST(doc_id AS BIGINT) AS pair_id",
+                f"'{role}' AS role",
+                "CAST(0 AS BIGINT) AS shape_id",
+                "CAST(0 AS INT) AS contour_idx",
+                f"{xs} AS fx",
+                f"{ys} AS fy",
+            )
+            return base.select(
+                "pair_id",
+                "role",
+                "shape_id",
+                "contour_idx",
+                F.transform("fx", lambda v: adapter.quantize_x(v)).alias("pts_x"),
+                F.transform("fy", lambda v: adapter.quantize_y(v)).alias("pts_y"),
+            )
+
+        return relate_pairs(geoms("subject", sx, sy).unionAll(geoms("clip", cx, cy)))
+
+    from .queries import REGISTRY
+
+    # quantization with scale 64 on 1/64-grid floats reproduces the original ints
+    # exactly -> identical relations to the integer predicate suite
+    return QuerySpec(spark=spark_fn, oracle=REGISTRY["relate_rects"].oracle)
