@@ -42,11 +42,22 @@ class FloatAdapter:
     offset_y: float
     scale: float  # 2^k
 
+    @staticmethod
+    def _round_half_away(v: Column) -> Column:
+        # reference FloatPointAdapter uses Rust f64::round = half AWAY from zero
+        # (iOverlay/src/float/*); floor(v+0.5) would send negative exact halves
+        # toward +inf instead
+        return (
+            F.when(v >= 0, F.floor(v + F.lit(0.5)))
+            .otherwise(-F.floor(-v + F.lit(0.5)))
+            .cast("long")
+        )
+
     def quantize_x(self, col: Column) -> Column:
-        return F.floor((col - F.lit(self.offset_x)) * F.lit(self.scale) + F.lit(0.5)).cast("long")
+        return self._round_half_away((col - F.lit(self.offset_x)) * F.lit(self.scale))
 
     def quantize_y(self, col: Column) -> Column:
-        return F.floor((col - F.lit(self.offset_y)) * F.lit(self.scale) + F.lit(0.5)).cast("long")
+        return self._round_half_away((col - F.lit(self.offset_y)) * F.lit(self.scale))
 
     def dequantize_x(self, col: Column) -> Column:
         return col.cast("double") / F.lit(self.scale) + F.lit(self.offset_x)

@@ -65,10 +65,16 @@ def rect_cover(rects: DataFrame, level: int) -> DataFrame:
 
 
 def pip_join(points: DataFrame, rects: DataFrame, level: int = 6) -> DataFrame:
-    """Point-in-rect spatial join via cell-cover candidates + exact verify + dedup.
+    """Point-in-rect spatial join via cell-cover candidates + exact verify.
 
     The shuffle is a cell-key equi-join; skew = hot cells, handled by choosing the
-    level so covers stay small (and by salting in the distributed split pipeline)."""
+    level so covers stay small (and by salting in the distributed split pipeline).
+
+    Precondition: `p_id` and `r_id` are unique in their inputs. The output then
+    has no duplicate (p_id, r_id) rows without a distinct (each point maps to ONE
+    cell, each rect covers a cell at most once). Callers with duplicated input
+    rows must dedupe on p_id/r_id BEFORE the join (cheaper than deduping the
+    joined output)."""
     pts = with_cell(points, "px", "py", level)
     cover = rect_cover(rects, level)
     # no dedup needed: each point has exactly ONE cell and a rect covers any cell

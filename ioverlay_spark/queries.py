@@ -567,8 +567,10 @@ def _rect_point_df(spark, sf_dir):
 
 @_register("clip_polyline")
 def _q_clip_polyline():
-    """L1: clip a horizontal polyline (centered at the doc's query point) by the doc's
-    rect through the string kernel; oracle is the exact interval-clip closed form."""
+    """L1: clip a horizontal polyline (centered on the doc's rect so ~every doc
+    produces output, but LONGER than most rects so both ends are clipped) by the
+    doc's rect through the string kernel; oracle is the exact interval-clip
+    closed form."""
 
     def spark_fn(spark, sf_dir):
         import pandas as pd
@@ -585,10 +587,12 @@ def _q_clip_polyline():
                         [[t.x1, t.y1], [t.x2, t.y1], [t.x2, t.y2], [t.x1, t.y2]], dtype=np.int64
                     )
                 ]
-                path = np.array([[t.px - 4096, t.py], [t.px + 4096, t.py]], dtype=np.int64)
+                cx = (int(t.x1) + int(t.x2)) // 2
+                cy = (int(t.y1) + int(t.y2)) // 2
+                path = np.array([[cx - 4096, cy], [cx + 4096, cy]], dtype=np.int64)
                 for part in clip_path(body, path, boundary_included=True):
                     rows.append(
-                        (int(t.doc_id), int(part[0][0]), int(part[-1][0]), int(t.py))
+                        (int(t.doc_id), int(part[0][0]), int(part[-1][0]), cy)
                     )
             return pd.DataFrame(rows, columns=["doc_id", "x_start", "x_end", "py"])
 
@@ -605,17 +609,19 @@ def _q_clip_polyline():
         return _bucketed_apply(_rect_point_df(spark, sf_dir), kernel, schema)
 
     r = rect_exprs("doc_id", "duckdb")
-    p = point_exprs("doc_id", "duckdb")
     oracle = f"""
 WITH g AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         {r["x1"]} AS x1, {r["y1"]} AS y1, {r["x2"]} AS x2, {r["y2"]} AS y2,
-         {p["px"]} AS px, {p["py"]} AS py
+         {r["x1"]} AS x1, {r["y1"]} AS y1, {r["x2"]} AS x2, {r["y2"]} AS y2
   FROM documents
+), c AS (
+  SELECT doc_id, x1, y1, x2, y2,
+         CAST((x1 + x2) // 2 AS BIGINT) AS cx, CAST((y1 + y2) // 2 AS BIGINT) AS cy
+  FROM g
 )
-SELECT doc_id, GREATEST(px - 4096, x1) AS x_start, LEAST(px + 4096, x2) AS x_end, py
-FROM g
-WHERE py >= y1 AND py <= y2 AND GREATEST(px - 4096, x1) < LEAST(px + 4096, x2)
+SELECT doc_id, GREATEST(cx - 4096, x1) AS x_start, LEAST(cx + 4096, x2) AS x_end, cy AS py
+FROM c
+WHERE cy >= y1 AND cy <= y2 AND GREATEST(cx - 4096, x1) < LEAST(cx + 4096, x2)
 """
     return QuerySpec(spark=spark_fn, oracle=oracle)
 

@@ -105,12 +105,24 @@ def _latest_version(root: str) -> int:
 def write_table(df: DataFrame, root: str, partition_by: list[str], mode: str = "overwrite") -> dict:
     """Write a snapshot: data files partitioned hive-style + a new manifest version.
 
-    mode="overwrite" starts a fresh file set; mode="append" adds files and the new
-    snapshot references old + new (previous snapshots stay readable — time travel)."""
-    (df.write.mode("append" if mode == "append" else "overwrite")
-       .partitionBy(*partition_by).parquet(root))
-    files = _scan_data_files(root)
-    version = _latest_version(root) + 1
+    Data files are immutable: every write APPENDS files at the filesystem level
+    (Spark part-file names are unique), and the manifest decides visibility —
+    mode="overwrite" lists only the newly-written files, mode="append" lists the
+    previous snapshot's files + the new ones. Old snapshots therefore stay
+    readable after an overwrite and the version sequence never restarts (real
+    Iceberg semantics: overwrite is a metadata operation, not a delete)."""
+    before = {f["path"] for f in _scan_data_files(root)} if os.path.isdir(root) else set()
+    df.write.mode("append").partitionBy(*partition_by).parquet(root)
+    all_files = _scan_data_files(root)
+    new_files = [f for f in all_files if f["path"] not in before]
+    prev_version = _latest_version(root)
+    if mode == "append" and prev_version > 0:
+        with open(os.path.join(root, METADATA_DIR, f"v{prev_version}.json")) as f:
+            prev_files = json.load(f)["files"]
+        files = prev_files + new_files
+    else:
+        files = new_files
+    version = prev_version + 1
     manifest = {
         "format": "iceberg-lite/1",
         "snapshot_id": version,
@@ -201,7 +213,11 @@ def read_table(
         rows_selected_upper_bound=sum(f["rows"] for f in selected),
     )
     if not selected:
-        df = spark.createDataFrame([], schema="__empty INT").limit(0)
+        # all files pruned: empty DataFrame with the TABLE schema (from the
+        # manifest), so downstream column references still resolve
+        from pyspark.sql.types import StructType
+
+        df = spark.createDataFrame([], schema=StructType.fromJson(manifest["schema"]))
         return df, report
     # basePath keeps hive partition columns in the schema
     df = spark.read.option("basePath", root).parquet(*[f["path"] for f in selected])

@@ -90,9 +90,9 @@ def stateful_tile_counts(
     spark: SparkSession,
     input_dir: str,
     checkpoint_dir: str,
+    output_dir: str,
     schema=None,
     tile_level: int = 5,
-    output_dir: str | None = None,
 ):
     """Custom stateful streaming operator (applyInPandasWithState): running
     cumulative page count + micro-batch count per tile, state carried across

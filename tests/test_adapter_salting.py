@@ -33,11 +33,12 @@ def test_fixed_scale_adapter():
 
 
 def test_adapter_quantize_matches_reference_rounding(spark):
-    # round-half-up on the shifted value: floor((v - off)*scale + 0.5)
+    # reference FloatPointAdapter rounds half AWAY from zero (Rust f64::round):
+    # exact halves on the negative side go to the more-negative integer
     a = FloatAdapter(0.0, 0.0, 2.0)
     df = spark.createDataFrame([(0.25,), (0.75,), (-0.25,), (-0.75,)], ["v"])
     got = [r[0] for r in df.select(a.quantize_x(F.col("v"))).collect()]
-    assert got == [1, 2, 0, -1]
+    assert got == [1, 2, -1, -2]
 
 
 def test_split_round_salting_triggers_and_stays_correct(spark):
