@@ -143,9 +143,11 @@ def ivf_kmeans_refine(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Lloyd refinement of the coarse quantizer: assign (broadcast) -> per-list
-    element-wise mean -> new centroids. Means are computed over DECIMAL(38,18)
-    sums, which are exact and associative — the result is bit-deterministic
-    regardless of partitioning/summation order (unlike double sums).
+    element-wise mean -> new centroids. Means are computed over FIXED-POINT
+    integer sums (round(x * 2^20) as BIGINT), which are exact and associative —
+    the result is bit-deterministic regardless of partitioning/summation order
+    (unlike double sums), and replayable by any engine with the same integer
+    rounding (the DuckDB oracle replays these iterations in SQL).
 
     Returns the refined centroids DataFrame (centroid_id, cvec). The lists stay
     tiny (n_lists x dim doubles), so each iteration collects them to the driver
@@ -157,7 +159,12 @@ def ivf_kmeans_refine(
             assigned.select("list_id", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("list_id", "pos")
             .agg(
-                F.avg(F.col("x").cast("decimal(38,18)")).cast("double").alias("m")
+                (
+                    F.sum(
+                        F.expr("CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)")
+                    ).cast("double")
+                    / (F.count("*").cast("double") * F.lit(1048576.0))
+                ).alias("m")
             )
             .collect()
         )

@@ -869,69 +869,118 @@ FROM {docs}
     return QuerySpec(spark=spark_fn, oracle=shared_sql("duckdb", "documents"))
 
 
+def _h60(dialect: str, s_expr: str, seed: int | str = "") -> str:
+    """60-bit hash both engines compute identically: first 15 hex digits of
+    md5(s || '#' || seed) parsed as an integer (no xxhash64 in the oracle dialect)."""
+    salted = f"concat({s_expr}, '#{seed}')" if seed != "" else s_expr
+    if dialect == "spark":
+        return f"CAST(conv(substr(md5({salted}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({salted}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_sql(dialect: str, docs: str, n_hashes: int = 16, n_bands: int = 4, cap: int = 16) -> str:
+    """MinHash+LSH candidate pairs, one SQL template for both dialects.
+
+    100-TB shape: shingle explode is map-side; the per-doc min-agg is a partial+final
+    hash agg; the band self-join shuffles on (band, sig) only. The window COUNT per
+    bucket caps quadratic blow-up from huge exact-duplicate classes (skew guard):
+    buckets larger than `cap` docs are dropped from pairing (their members are by
+    construction near-identical and are recovered transitively by smaller buckets /
+    the connected-components stage of dedup_e2e)."""
+    if dialect == "spark":
+        tok = "filter(split(text, ' '), x -> x != '')"
+        shingles = (
+            "transform(sequence(0, greatest(size(t)-3, 0)), "
+            "i -> concat_ws(' ', slice(t, i+1, 3)))"
+        )
+        unnest = "explode(shingles)"
+    else:
+        tok = "list_filter(string_split(text, ' '), x -> x <> '')"
+        shingles = (
+            "list_transform(generate_series(1, greatest(len(t)-2, 1)), "
+            "i -> array_to_string(t[i:i+2], ' '))"
+        )
+        unnest = "unnest(shingles)"
+    mins = ", ".join(f"MIN({_h60(dialect, 's', seed)}) AS m{seed}" for seed in range(n_hashes))
+    per_band = n_hashes // n_bands
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, concat_ws(':', "
+        + ", ".join(f"m{b * per_band + j}" for j in range(per_band))
+        + ") AS sig FROM mins"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {tok} AS t FROM {docs}
+), shl AS (
+  SELECT doc_id, {shingles} AS shingles FROM toks
+), sh AS (
+  SELECT doc_id, {unnest} AS s FROM shl
+), mins AS (
+  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+), bands AS (
+{band_rows}
+), sized AS (
+  SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM bands
+), keep AS (
+  SELECT doc_id, band, sig FROM sized WHERE bsz <= {cap}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM keep l JOIN keep r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+"""
+
+
 @_register("minhash_lsh_pairs")
 def _q_minhash_lsh():
-    """MinHash+LSH near-dup candidates: 3-token shingles -> 16 xxhash64 minhashes ->
-    4 bands of 4 -> band-bucket self-join -> distinct candidate pairs.
-    Non-SQL-expressible in the oracle dialect (xxhash64): rows-only check."""
+    """MinHash+LSH near-dup candidates: 3-token shingles -> 16 md5-based 60-bit
+    minhashes -> 4 bands of 4 -> bucket-size-capped band self-join -> distinct
+    candidate pairs. Exact DuckDB oracle (same SQL template, both dialects)."""
 
     def spark_fn(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        toks = docs.select(
-            "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("t")
-        )
-        sh = toks.select(
-            "doc_id",
-            F.expr(
-                "transform(sequence(0, greatest(size(t)-3, 0)), "
-                "i -> concat_ws(' ', slice(t, i+1, 3)))"
-            ).alias("shingles"),
-        ).select("doc_id", F.explode("shingles").alias("s"))
-        mins = sh.groupBy("doc_id").agg(
-            *[F.min(F.xxhash64(F.col("s"), F.lit(seed))).alias(f"m{seed}") for seed in range(16)]
-        )
-        bands = None
-        for b in range(4):
-            cols = [f"m{b * 4 + j}" for j in range(4)]
-            band = mins.select(
-                "doc_id", F.lit(b).alias("band"), F.xxhash64(*[F.col(c) for c in cols]).alias("sig")
-            )
-            bands = band if bands is None else bands.unionAll(band)
-        pairs = (
-            bands.alias("l")
-            .join(bands.alias("r"), ["band", "sig"])
-            .where(F.col("l.doc_id") < F.col("r.doc_id"))
-            .select(
-                F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-            )
-            .distinct()
-        )
-        return pairs
+        return spark.sql(_minhash_sql("spark", _tbl("spark", sf_dir, "documents")))
 
-    return QuerySpec(spark=spark_fn, oracle=None)
+    return QuerySpec(spark=spark_fn, oracle=_minhash_sql("duckdb", "documents"))
+
+
+def _simhash_sql(dialect: str, docs: str, n_bits: int = 60) -> str:
+    """SimHash per document from md5-based 60-bit token hashes (sign-sum of bits,
+    exact ints) — one SQL template for both dialects. Linear scan + hash agg; all
+    bit math stays engine-side (whole-stage codegen in Spark)."""
+    if dialect == "spark":
+        tok = "explode(filter(split(text, ' '), x -> x != ''))"
+        shr = lambda e, k: f"shiftright({e}, {k})"  # noqa: E731
+    else:
+        tok = "unnest(list_filter(string_split(text, ' '), x -> x <> ''))"
+        shr = lambda e, k: f"({e} >> {k})"  # noqa: E731
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ({shr('h', k)} & 1) = 1 THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(n_bits)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for k in range(n_bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {tok} AS t FROM {docs}
+), h AS (
+  SELECT doc_id, {_h60(dialect, 't')} AS h FROM tok
+), s AS (
+  SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, {recompose} AS simhash FROM s
+"""
 
 
 @_register("simhash")
 def _q_simhash():
-    """SimHash-64 per document from token xxhash64s (sign-sum of bits, exact ints) —
-    rows-only check (xxhash64 not available to the oracle)."""
+    """SimHash-60 per document from md5-based token hashes; exact DuckDB oracle
+    (same SQL template, both dialects)."""
 
     def spark_fn(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        tok = docs.select(
-            "doc_id", F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("t")
-        ).select("doc_id", F.xxhash64("t").alias("h"))
-        aggs = [
-            F.sum(
-                F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{k}")
-            for k in range(64)
-        ]
-        sums = tok.groupBy("doc_id").agg(*aggs)
-        expr = " + ".join(f"IF(b{k} > 0, shiftleft(CAST(1 AS BIGINT), {k}), CAST(0 AS BIGINT))" for k in range(64))
-        return sums.select("doc_id", F.expr(expr).alias("simhash"))
+        return spark.sql(_simhash_sql("spark", _tbl("spark", sf_dir, "documents")))
 
-    return QuerySpec(spark=spark_fn, oracle=None)
+    return QuerySpec(spark=spark_fn, oracle=_simhash_sql("duckdb", "documents"))
 
 
 @_register("knn_grid")
@@ -1056,17 +1105,22 @@ FROM documents
     return QuerySpec(spark=spark_fn, oracle=oracle)
 
 
+def _lsh_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Fixed deterministic +-1 hyperplanes (seeded PRNG, shared by query + oracle)."""
+    import random
+
+    rnd = random.Random(42)
+    return [[rnd.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
+
+
 @_register("embed_ann_lsh")
 def _q_embed_ann_lsh():
     """Approximate nearest neighbor over embeddings: random-hyperplane LSH (8 fixed
     deterministic planes) -> bucket self-join -> cosine rank within bucket.
-    Rows-only check (approximate op; bucketing is the scale path vs brute force)."""
+    Deterministic construction, so the DuckDB oracle replays it exactly."""
 
     def spark_fn(spark, sf_dir):
-        import random
-
-        rnd = random.Random(42)
-        planes = [[rnd.choice((-1.0, 1.0)) for _ in range(64)] for _ in range(8)]
+        planes = _lsh_planes()
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         bucket_terms = []
         for k, plane in enumerate(planes):
@@ -1103,7 +1157,31 @@ def _q_embed_ann_lsh():
             .select("vec_id", "neighbor_id")
         )
 
-    return QuerySpec(spark=spark_fn, oracle=None)
+    planes = _lsh_planes()
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, {arr}) > 0 THEN {1 << k} ELSE 0 END)"
+        for k, arr in (
+            (k, "[" + ", ".join(str(v) for v in plane) + "]") for k, plane in enumerate(planes)
+        )
+    )
+    oracle = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         CAST({bucket_terms} AS BIGINT) AS bucket,
+         sqrt(list_dot_product(embedding, embedding)) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT l.vec_id AS vec_id, r.vec_id AS neighbor_id,
+         list_dot_product(l.embedding, r.embedding) / (l.nrm * r.nrm) AS cos
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id
+)
+SELECT vec_id, neighbor_id FROM (
+  SELECT vec_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM pairs
+) t WHERE rnk <= 1
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
 
 
 @_register("embed_knn")

@@ -895,12 +895,75 @@ FROM documents
     return QuerySpec(spark=spark_fn, oracle=oracle)
 
 
+def _ivf_kmeans_oracle(n_lists: int = 8, n_iters: int = 2) -> str:
+    """DuckDB replay of the Spark k-means pipeline. The fixed-point means
+    (round(x*2^20) BIGINT sums, double division) are bit-identical across
+    engines, so assignments and the final within-list top-1 match exactly."""
+    # one assignment CTE + one means CTE per iteration, then final assign + topk
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, embedding, nrm2, list_id FROM (
+    SELECT e.vec_id, e.embedding, e.nrm2, c.centroid_id AS list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY e.nrm2 - 2 * list_dot_product(e.embedding, c.cvec)
+                      + list_dot_product(c.cvec, c.cvec), c.centroid_id
+           ) AS rn
+    FROM e CROSS JOIN {cent} c
+  ) t WHERE rn = 1
+)"""
+
+    def means_cte(name: str, assigned: str) -> str:
+        return f"""{name} AS (
+  SELECT list_id AS centroid_id, list(m ORDER BY pos) AS cvec FROM (
+    SELECT list_id, pos,
+           CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1048576.0) AS m
+    FROM (
+      SELECT list_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+      FROM {assigned}
+    ) u GROUP BY list_id, pos
+  ) mm GROUP BY list_id
+)"""
+
+    ctes = [
+        """e AS (
+  SELECT vec_id, embedding, list_dot_product(embedding, embedding) AS nrm2
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {n_lists}
+)""",
+    ]
+    cent = "c0"
+    for it in range(n_iters):
+        ctes.append(assign_cte(f"a{it}", cent))
+        ctes.append(means_cte(f"c{it + 1}", f"a{it}"))
+        cent = f"c{it + 1}"
+    ctes.append(assign_cte("af", cent))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT vec_id, list_id, neighbor_id FROM (
+  SELECT l.vec_id, l.list_id, r.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.vec_id
+           ORDER BY list_dot_product(l.embedding, r.embedding) / sqrt(l.nrm2 * r.nrm2) DESC,
+                    r.vec_id
+         ) AS rnk
+  FROM af l JOIN af r ON l.list_id = r.list_id AND l.vec_id != r.vec_id
+) t WHERE rnk <= 1
+"""
+    )
+
+
 @_register("ann_ivf_kmeans")
 def _q_ann_ivf_kmeans():
-    """IVF with 2 Lloyd refinement iterations of the coarse quantizer (decimal-sum
-    means: deterministic under any partitioning), then within-list top-1 search.
-    Approximate op with float centroids — rows-only driver check; determinism is
-    covered by tests/test_ivf_kmeans.py."""
+    """IVF with 2 Lloyd refinement iterations of the coarse quantizer (fixed-point
+    integer-sum means: deterministic under any partitioning AND bit-replayable by
+    the oracle), then within-list top-1 search. Exact DuckDB oracle replays the
+    whole iteration in SQL; determinism also covered by tests/test_ivf_kmeans.py."""
 
     def spark_fn(spark, sf_dir):
         from .operators.similarity import (
@@ -916,7 +979,7 @@ def _q_ann_ivf_kmeans():
         assigned = ivf_assign(emb, refined)
         return ivf_topk(assigned, k=1).select("vec_id", "list_id", "neighbor_id")
 
-    return QuerySpec(spark=spark_fn, oracle=None)
+    return QuerySpec(spark=spark_fn, oracle=_ivf_kmeans_oracle())
 
 
 @_register("relate_float")
