@@ -884,9 +884,9 @@ def _minhash_sql(dialect: str, docs: str, n_hashes: int = 16, n_bands: int = 4, 
     100-TB shape: shingle explode is map-side; the per-doc min-agg is a partial+final
     hash agg; the band self-join shuffles on (band, sig) only. The window COUNT per
     bucket caps quadratic blow-up from huge exact-duplicate classes (skew guard):
-    buckets larger than `cap` docs are dropped from pairing (their members are by
-    construction near-identical and are recovered transitively by smaller buckets /
-    the connected-components stage of dedup_e2e)."""
+    buckets larger than `cap` docs emit a linear STAR (bucket-min anchor -> member)
+    instead of all pairs — candidate volume stays O(bucket size) while connectivity
+    is preserved for the connected-components stage of dedup_e2e."""
     if dialect == "spark":
         tok = "filter(split(text, ' '), x -> x != '')"
         shingles = (
@@ -921,12 +921,14 @@ WITH toks AS (
 ), bands AS (
 {band_rows}
 ), sized AS (
-  SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM bands
-), keep AS (
-  SELECT doc_id, band, sig FROM sized WHERE bsz <= {cap}
+  SELECT doc_id, band, sig,
+         COUNT(*) OVER (PARTITION BY band, sig) AS bsz,
+         MIN(doc_id) OVER (PARTITION BY band, sig) AS anchor
+  FROM bands
 )
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM keep l JOIN keep r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+FROM sized l JOIN sized r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+WHERE l.bsz <= {cap} OR l.doc_id = l.anchor
 """
 
 

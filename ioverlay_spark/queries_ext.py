@@ -851,6 +851,90 @@ FROM d
     return QuerySpec(spark=spark_fn, oracle=oracle)
 
 
+def _dedup_verified_pairs_sql(dialect: str, docs: str) -> str:
+    """MinHash-LSH candidates -> exact-Jaccard verify (>= 1/2, integer rational
+    comparison — no float), one SQL template for both dialects. The LSH stage's
+    star guard keeps hot buckets linear; the verify join touches candidate pairs
+    only (O(candidates x shingles-per-doc), not O(N^2))."""
+    from .queries import _minhash_sql
+
+    cand = _minhash_sql(dialect, docs)
+    if dialect == "spark":
+        shingle = (
+            "explode(transform(sequence(0, greatest(size(t)-3, 0)), "
+            "i -> concat_ws(' ', slice(t, i+1, 3))))"
+        )
+    else:
+        shingle = (
+            "unnest(list_transform(generate_series(1, greatest(len(t)-2, 1)), "
+            "i -> array_to_string(t[i:i+2], ' ')))"
+        )
+    return f"""
+WITH cand AS ({cand}),
+vtoks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_toks(dialect)} AS t FROM {docs}),
+vsh AS (SELECT doc_id, {shingle} AS s FROM vtoks),
+ds AS (SELECT DISTINCT doc_id, s FROM vsh),
+card AS (SELECT doc_id, COUNT(*) AS c FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN ds a ON a.doc_id = c.doc_a
+  JOIN ds b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b
+FROM inter i
+JOIN card ca ON ca.doc_id = i.doc_a
+JOIN card cb ON cb.doc_id = i.doc_b
+WHERE 2 * i.i >= ca.c + cb.c - i.i
+"""
+
+
+@_register("dedup_e2e")
+def _q_dedup_e2e():
+    """End-to-end near-dup dedup pipeline: MinHash-LSH candidates (hot buckets
+    starred, not dropped) -> exact-Jaccard verify at 1/2 -> distributed connected
+    components -> cluster id per doc (min doc id of the component; singletons =
+    own id). Oracle replays candidates+verify with the shared SQL template and
+    the transitive closure with a recursive CTE."""
+
+    def spark_fn(spark, sf_dir):
+        from .operators.distributed_extract import connected_components
+
+        pairs = spark.sql(
+            _dedup_verified_pairs_sql("spark", _tbl("spark", sf_dir, "documents"))
+        )
+        edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        cc = connected_components(edges)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+        return docs.join(
+            cc.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce("component", "doc_id").cast("long").alias("cluster")
+        )
+
+    verified = _dedup_verified_pairs_sql("duckdb", "documents")
+    oracle = f"""
+WITH RECURSIVE verified AS ({verified}),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION SELECT doc_b AS u, doc_a AS v FROM verified
+),
+walk(node, comp) AS (
+  SELECT DISTINCT u AS node, u AS comp FROM sym
+  UNION
+  SELECT e.v AS node, w.comp FROM walk w JOIN sym e ON e.u = w.node
+),
+comp AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+FROM d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
 @_register("media_resample")
 def _q_media_resample():
     """Multimodal resample (frame-sample analog): every 4th payload byte kept via
