@@ -117,10 +117,22 @@ def _find_marks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def split_round(segs: DataFrame, cells_per_axis: int, hot_threshold: int = 20000) -> tuple[DataFrame, DataFrame]:
-    """One split round: returns (marks_df, stats). Cells are salted to a 4x finer
-    sub-grid when their segment count exceeds hot_threshold (skew handling)."""
-    spark = segs.sparkSession
+def salted_cover(
+    segs: DataFrame, cells_per_axis: int, hot_threshold: int = 20000
+) -> tuple[DataFrame, DataFrame]:
+    """Grid cover with TARGETED hot-cell salting: every segment is exploded into
+    the coarse cells its bbox covers; cells whose load exceeds hot_threshold are
+    additionally split into a 4x4 fine sub-grid — but ONLY the segments covering
+    a hot cell are re-exploded, and only within that cell. Cold cells keep a
+    single (sx, sy) = (0, 0) salt, so exploded-row growth is proportional to the
+    hot-cell share of the data, not global (north-rule skew handling).
+
+    Correct because a crossing pair's intersection point p lies in both bboxes:
+    if the coarse cell containing p is cold, the pair meets at that cell's
+    (0, 0) salt; if hot, both bbox covers (clamped to the cell) include the fine
+    sub-cell containing p.
+
+    Returns (cover_df with group key (cx, cy, sx, sy), loads_df)."""
     bounds = segs.agg(
         F.min(F.least("ax", "bx")).alias("x0"),
         F.max(F.greatest("ax", "bx")).alias("x1"),
@@ -142,31 +154,44 @@ def split_round(segs: DataFrame, cells_per_axis: int, hot_threshold: int = 20000
         segs.withColumn("cx", F.explode(F.expr(cx_seq)))
         .withColumn("cy", F.explode(F.expr(cy_seq)))
     )
-
-    # skew: histogram of cell loads -> hot cells get a salt from a finer sub-grid so
-    # no single pandas group exceeds ~hot_threshold segments
     loads = covered.groupBy("cx", "cy").count()
-    hot = loads.where(F.col("count") > hot_threshold).select("cx", "cy", "count")
-    hot_cells = {(r["cx"], r["cy"]): int(r["count"]) for r in hot.collect()}
-    if hot_cells:
-        # NOTE: sub-salting by fine grid keeps correctness because marks are found
-        # per sub-cell and pairs spanning sub-cells still share at least one covered
-        # sub-cell (bbox cover is per sub-cell too). Here we simply re-run those
-        # cells at a finer cell size by bumping the cover to a 4x finer grid.
-        fine = 4
-        covered = (
-            segs.withColumn(
-                "cx", F.explode(F.expr(cx_seq.replace(f"DIV {cell}", f"DIV {max(1, cell // fine)}")))
-            )
-            .withColumn(
-                "cy", F.explode(F.expr(cy_seq.replace(f"DIV {cell}", f"DIV {max(1, cell // fine)}")))
-            )
-        )
+    hot = (
+        loads.where(F.col("count") > hot_threshold)
+        .select("cx", "cy")
+        .withColumn("_hot", F.lit(True))
+    )
+    cov = covered.join(F.broadcast(hot), ["cx", "cy"], "left")
+    out_cols = [*covered.columns]
+    cold = cov.where(F.col("_hot").isNull()).select(
+        *out_cols, F.lit(0).alias("sx"), F.lit(0).alias("sy")
+    )
+    fsz = (cell + 3) // 4  # fine sub-cell size; 4x4 per hot cell
+    sx_seq = (
+        f"sequence( greatest(least(ax, bx) - {x0} - cx * {cell}, 0) DIV {fsz},"
+        f" least(greatest(ax, bx) - {x0} - cx * {cell}, {cell - 1}) DIV {fsz} )"
+    )
+    sy_seq = (
+        f"sequence( greatest(least(ay, by) - {y0} - cy * {cell}, 0) DIV {fsz},"
+        f" least(greatest(ay, by) - {y0} - cy * {cell}, {cell - 1}) DIV {fsz} )"
+    )
+    hotc = (
+        cov.where(F.col("_hot").isNotNull())
+        .withColumn("sx", F.explode(F.expr(sx_seq)))
+        .withColumn("sy", F.explode(F.expr(sy_seq)))
+        .select(*out_cols, "sx", "sy")
+    )
+    return cold.unionByName(hotc), loads
 
+
+def split_round(segs: DataFrame, cells_per_axis: int, hot_threshold: int = 20000) -> tuple[DataFrame, DataFrame]:
+    """One split round: returns (marks_df, stats). Hot cells are salted to a 4x4
+    finer sub-grid via salted_cover (only hot-cell segments re-explode)."""
+    spark = segs.sparkSession
+    cover, loads = salted_cover(segs, cells_per_axis, hot_threshold)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     marks = (
-        covered.repartition(n_part, "cx", "cy")
-        .groupBy("cx", "cy")
+        cover.repartition(n_part, "cx", "cy", "sx", "sy")
+        .groupBy("cx", "cy", "sx", "sy")
         .applyInPandas(lambda pdf: _find_marks_kernel(pdf), schema=MARKS_SCHEMA)
         .dropDuplicates(["ax", "ay", "bx", "by", "px", "py"])
     )

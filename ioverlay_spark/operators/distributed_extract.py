@@ -193,6 +193,102 @@ def _node_expr(x: str, y: str) -> F.Column:
     return (F.col(x) + F.lit(1 << 21)) * F.lit(1 << 22) + (F.col(y) + F.lit(1 << 21))
 
 
+def _ring_segments_df(rings: DataFrame) -> DataFrame:
+    """Ring polylines -> normalized non-vertical segments (ring_id, ax, ay, bx, by),
+    pure Column ops (posexplode + lead window with wrap). Vertical segments drop
+    out naturally (the downward-ray test uses the half-open span [ax, bx))."""
+    from pyspark.sql.window import Window
+
+    exploded = rings.select(
+        "ring_id", F.posexplode(F.arrays_zip("pts_x", "pts_y")).alias("pos", "p")
+    )
+    w = Window.partitionBy("ring_id").orderBy("pos")
+    nxt = exploded.select(
+        "ring_id",
+        F.col("p.pts_x").alias("p0x"),
+        F.col("p.pts_y").alias("p0y"),
+        F.coalesce(F.lead("p.pts_x").over(w), F.first("p.pts_x").over(w)).alias("p1x"),
+        F.coalesce(F.lead("p.pts_y").over(w), F.first("p.pts_y").over(w)).alias("p1y"),
+    ).where(F.col("p0x") != F.col("p1x"))
+    fwd = F.col("p0x") < F.col("p1x")
+    return nxt.select(
+        "ring_id",
+        F.when(fwd, F.col("p0x")).otherwise(F.col("p1x")).alias("ax"),
+        F.when(fwd, F.col("p0y")).otherwise(F.col("p1y")).alias("ay"),
+        F.when(fwd, F.col("p1x")).otherwise(F.col("p0x")).alias("bx"),
+        F.when(fwd, F.col("p1y")).otherwise(F.col("p0y")).alias("by"),
+    )
+
+
+def bind_holes_df(hulls: DataFrame, holes: DataFrame, n_bands: int = 256) -> DataFrame:
+    """A14 v2: fully distributed hole->hull binding (no driver-side ring data).
+
+    Downward ray cast from each hole anchor against hull-ring segments
+    (reference ShapeBinder scanline, iOverlay/src/bind/solver.rs:25-236,
+    re-expressed relationally):
+      1. hull segments explode into x-bands (bbox cover on x) — map-side;
+      2. hole anchors equi-join their band (the only wide shuffle);
+      3. exact integer below-test (cross-multiplied rational, no floats);
+      4. per (hole, hull): crossing parity = containment, max scaled y-below =
+         distance ordering; innermost containing hull = argmax y-below.
+    This merges the reference's "first segment strictly under the anchor" with
+    containment parity, so hole->hole chains resolve without iteration (a hole's
+    innermost CONTAINING HULL is its parent directly).
+
+    Returns (hole_ring_id, shape_id). Holes contained by no hull are dropped
+    (caller decides). Precondition: anchors do not lie exactly on hull segments
+    (guaranteed for disjoint result rings of one overlay)."""
+    segs = _ring_segments_df(hulls.select("ring_id", "pts_x", "pts_y"))
+    bounds = segs.agg(
+        F.min("ax").alias("x0"), F.max("bx").alias("x1")
+    ).first()
+    if bounds is None or bounds["x0"] is None:
+        spark = hulls.sparkSession
+        return spark.createDataFrame([], "hole_ring_id LONG, shape_id LONG")
+    x0, x1 = int(bounds["x0"]), int(bounds["x1"])
+    band = max(1, (x1 - x0 + n_bands - 1) // n_bands)
+    seg_b = segs.withColumn(
+        "band", F.explode(F.expr(f"sequence((ax - {x0}) DIV {band}, (bx - {x0}) DIV {band})"))
+    ).select(F.col("ring_id").alias("hull_ring_id"), "ax", "ay", "bx", "by", "band")
+    anch = holes.select(
+        F.col("ring_id").alias("hole_ring_id"),
+        "anchor_x",
+        "anchor_y",
+        F.expr(f"(anchor_x - {x0}) DIV {band}").alias("band"),
+    )
+    j = anch.join(seg_b, "band").where(
+        (F.col("ax") <= F.col("anchor_x")) & (F.col("anchor_x") < F.col("bx"))
+    )
+    # exact rational y-at-x: num/den with den = bx-ax > 0; strictly below test is
+    # num < anchor_y * den (int64 products; extractor coords are < 2^21)
+    num = F.col("ay") * (F.col("bx") - F.col("ax")) + (F.col("by") - F.col("ay")) * (
+        F.col("anchor_x") - F.col("ax")
+    )
+    den = F.col("bx") - F.col("ax")
+    below = j.withColumn("num", num).withColumn("den", den).where(
+        F.col("num") < F.col("anchor_y") * F.col("den")
+    )
+    # 2^18 fixed-point y-at-x for the innermost ordering (ties broken by ring id;
+    # value <= 2^39, no overflow). Parity of crossings = containment.
+    scaled = F.expr("(num * 262144) DIV den")
+    per_hull = (
+        below.groupBy("hole_ring_id", "hull_ring_id")
+        .agg(
+            F.count("*").alias("n_cross"),
+            F.max(scaled).alias("y_below"),
+        )
+        .where(F.col("n_cross") % 2 == 1)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("hole_ring_id").orderBy(F.desc("y_below"), F.asc("hull_ring_id"))
+    return (
+        per_hull.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("hole_ring_id", F.col("hull_ring_id").alias("shape_id"))
+    )
+
+
 def extract_shapes_df(
     fills: DataFrame,
     rule: OverlayRule,
@@ -228,35 +324,13 @@ def extract_shapes_df(
             F.col("ring_id").alias("shape_id"), "ring_id", "is_hole", "pts_x", "pts_y", "area2"
         )
 
-    # v1 hole binding: exact PIP of each hole anchor against hull rings, innermost
-    # (smallest-area) containing hull wins. Driver-side over RING data (rings are
-    # output-scale, orders of magnitude smaller than segments); the fully
-    # distributed below-anchor scan (x-band equi-join + max_by) is the v2 path.
-    hull_rows = hulls.select("ring_id", "pts_x", "pts_y", "area2").collect()
-    hull_data = [
-        (int(r["ring_id"]), np.stack([np.array(r["pts_x"]), np.array(r["pts_y"])], axis=1), int(r["area2"]))
-        for r in hull_rows
-    ]
-    from ..kernel.extract import _point_in_ring
-
-    anchor_rows = holes.select("ring_id", "anchor_x", "anchor_y").collect()
-    assign = []
-    for r in anchor_rows:
-        x, y = int(r["anchor_x"]), int(r["anchor_y"])
-        containing = [
-            (abs(a2), rid) for rid, ring, a2 in hull_data if _point_in_ring(x, y, ring)
-        ]
-        if containing:
-            assign.append((int(r["ring_id"]), min(containing)[1]))
-    spark = fills.sparkSession
-    if assign:
-        amap = spark.createDataFrame(assign, ["hole_ring_id", "shape_id"])
-        holes_out = holes.join(
-            amap, holes["ring_id"] == amap["hole_ring_id"]
-        ).select("shape_id", "ring_id", "is_hole", "pts_x", "pts_y", "area2")
-    else:
-        holes_out = None
+    # v2 hole binding: distributed below-anchor ray cast (x-band equi-join +
+    # parity + innermost argmax) — zero driver materialization of ring data.
+    amap = bind_holes_df(hulls, holes)
+    holes_out = holes.join(
+        amap, holes["ring_id"] == amap["hole_ring_id"]
+    ).select("shape_id", "ring_id", "is_hole", "pts_x", "pts_y", "area2")
     hulls_out = hulls.select(
         F.col("ring_id").alias("shape_id"), "ring_id", "is_hole", "pts_x", "pts_y", "area2"
     )
-    return hulls_out.unionAll(holes_out) if holes_out is not None else hulls_out
+    return hulls_out.unionAll(holes_out)

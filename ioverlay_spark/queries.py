@@ -1050,6 +1050,59 @@ SELECT CAST({N} AS BIGINT) AS n, CAST({expect} AS BIGINT) AS total_area2
     return QuerySpec(spark=spark_fn, oracle=oracle)
 
 
+@_register("distributed_holes")
+def _q_distributed_holes():
+    """Distributed extraction WITH hole binding (A13/A14 v2): a KxK grid of
+    triple-nested concentric squares — subject = [outer, middle] (even-odd donut),
+    clip = [inner], XOR. Each cell yields a donut (hull + bound hole) plus an
+    island hull INSIDE the hole, so binding must pick the innermost containing
+    hull among nested candidates, fully distributed (x-band ray cast; zero
+    driver-side ring materialization). Oracle is the closed form."""
+
+    K, S = 6, 64  # grid size, outer square edge; cells spaced 2*S apart
+
+    def spark_fn(spark, sf_dir):
+        from .operators.distributed import contours_to_segments_df, distributed_overlay
+        from .options import FillRule, OverlayRule
+
+        rows, k = [], 0
+        for i in range(K):
+            for j in range(K):
+                x, y = i * 2 * S, j * 2 * S
+                for role, off, e in (
+                    ("subject", 0, S),
+                    ("subject", S // 4, S // 2),
+                    ("clip", 3 * S // 8, S // 4),
+                ):
+                    rows.append(
+                        (
+                            role,
+                            k,
+                            [x + off, x + off + e, x + off + e, x + off],
+                            [y + off, y + off, y + off + e, y + off + e],
+                        )
+                    )
+                    k += 1
+        df = spark.createDataFrame(rows, ["role", "cid", "pts_x", "pts_y"])
+        out = distributed_overlay(
+            contours_to_segments_df(spark, df), OverlayRule.XOR, FillRule.EVEN_ODD
+        )
+        return out.groupBy().agg(
+            F.count_distinct("shape_id").cast("long").alias("n_shapes"),
+            F.sum(F.when(F.col("is_hole"), 1).otherwise(0)).cast("long").alias("n_holes"),
+            F.sum("area2").cast("long").alias("total_area2"),
+        )
+
+    # per cell: donut (outer^2 - middle^2) + island (inner^2); areas doubled
+    per_cell = 2 * (S * S - (S // 2) * (S // 2) + (S // 4) * (S // 4))
+    oracle = f"""
+SELECT CAST({2 * K * K} AS BIGINT) AS n_shapes,
+       CAST({K * K} AS BIGINT) AS n_holes,
+       CAST({K * K * per_cell} AS BIGINT) AS total_area2
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
 def _hex_digit_case(ch_expr: str) -> str:
     cases = " ".join(
         f"WHEN '{c}' THEN {int(c, 16)}" for c in "0123456789abcdef"

@@ -41,6 +41,39 @@ def test_adapter_quantize_matches_reference_rounding(spark):
     assert got == [1, 2, -1, -2]
 
 
+def test_salting_growth_proportional_to_hot_share(spark):
+    """Targeted salting must re-explode ONLY hot-cell segments: exploded-row growth
+    is bounded by the hot-cell share of the cover, and the found marks are
+    identical to an unsalted (huge-threshold) round."""
+    from ioverlay_spark.operators.distributed import salted_cover, split_round
+
+    # one dense bundle in the lower-left cell + a sparse far-away diagonal field
+    rows = []
+    for k in range(40):  # dense: 40 segments through one small cell
+        rows.append((0, k, 63, 63 - k, 1, 0))
+    for k in range(40):  # sparse: spread over a 16x16-cell area
+        rows.append((1000 + 17 * k, 1000 + 13 * k, 1040 + 17 * k, 1060 + 13 * k, 1, 0))
+    df = spark.createDataFrame(rows, ["ax", "ay", "bx", "by", "subj", "clip"])
+
+    cover_salted, loads = salted_cover(df, cells_per_axis=32, hot_threshold=8)
+    cover_plain, _ = salted_cover(df, cells_per_axis=32, hot_threshold=10**9)
+    n_salted, n_plain = cover_salted.count(), cover_plain.count()
+    hot_rows = (
+        loads.where(F.col("count") > 8).agg(F.sum("count")).collect()[0][0] or 0
+    )
+    # growth only from hot-cell rows, each re-exploded into <= 16 sub-cells
+    assert n_salted - n_plain <= 16 * hot_rows
+    # the sparse field must NOT have grown: cold rows keep exactly one salt
+    assert n_salted < n_plain + 16 * hot_rows + 1
+    assert n_plain >= 80  # sanity: every segment covered at least once
+
+    marks_salted, _ = split_round(df, cells_per_axis=32, hot_threshold=8)
+    marks_plain, _ = split_round(df, cells_per_axis=32, hot_threshold=10**9)
+    a = sorted(map(tuple, marks_salted.collect()))
+    b = sorted(map(tuple, marks_plain.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_split_round_salting_triggers_and_stays_correct(spark):
     """Force the hot-cell path (threshold=4) on a dense crossing bundle and check
     the distributed split still matches the exact kernel result."""

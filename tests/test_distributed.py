@@ -127,3 +127,65 @@ def test_distributed_extract_matches_kernel_areas(spark, board, rule_name):
     # hole binding sanity: every hole's shape_id is some hull's ring_id
     hull_ids = set(pdf.loc[~pdf["is_hole"], "ring_id"])
     assert set(pdf.loc[pdf["is_hole"], "shape_id"]).issubset(hull_ids)
+
+
+def test_hole_binding_nested_innermost(spark):
+    """bind_holes_df picks the innermost CONTAINING hull among nested candidates
+    and resolves island-inside-hole configurations without iteration."""
+    from ioverlay_spark.operators.distributed_extract import bind_holes_df
+
+    def sq(rid, x0, y0, s):
+        return (rid, [x0, x0 + s, x0 + s, x0], [y0, y0, y0 + s, y0 + s])
+
+    # hull 1 (big), hull 2 (island inside hull 1's hole), hull 3 (far away)
+    hulls = spark.createDataFrame(
+        [sq(1, 0, 0, 100), sq(2, 40, 40, 20), sq(3, 1000, 1000, 10)],
+        ["ring_id", "pts_x", "pts_y"],
+    )
+    holes = spark.createDataFrame(
+        [
+            # hole of hull 1 (contains hull 2): anchor inside hull 1 only
+            (10, 20, 20),
+            # hole of the island hull 2: anchor inside both 1 and 2 -> innermost = 2
+            (11, 45, 45),
+        ],
+        ["ring_id", "anchor_x", "anchor_y"],
+    )
+    got = {
+        r["hole_ring_id"]: r["shape_id"] for r in bind_holes_df(hulls, holes).collect()
+    }
+    assert got == {10: 1, 11: 2}
+
+
+def test_distributed_extract_no_ring_collect(spark, board, monkeypatch):
+    """North-rule scale guard: the distributed extractor must not materialize
+    ring/segment data on the driver — only O(1) scalar rows (bounds aggregates)
+    may be collected."""
+    import pyspark.sql.dataframe as dfmod
+    from ioverlay_spark.options import FillRule, OverlayRule
+    from ioverlay_spark.operators.distributed import (
+        compute_fills_df,
+        contours_to_segments_df,
+        split_segments_df,
+    )
+    from ioverlay_spark.operators.distributed_extract import extract_shapes_df
+
+    subj, clip, df = board
+    fills = compute_fills_df(
+        split_segments_df(contours_to_segments_df(spark, df)), FillRule.EVEN_ODD
+    ).localCheckpoint(eager=True)
+
+    collected = []
+    real_collect = dfmod.DataFrame.collect
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(dfmod.DataFrame, "collect", counting_collect)
+    out = extract_shapes_df(fills, OverlayRule.XOR)
+    pdf = real_collect(out)
+    # board-6 XOR: both tilings are contiguous -> one frame hull + one hole
+    assert len(pdf) == 2 and any(r["is_hole"] for r in pdf)
+    assert sum(collected) <= 4, f"driver materialized {sum(collected)} rows"
