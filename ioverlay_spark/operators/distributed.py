@@ -117,8 +117,30 @@ def _find_marks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _count_and_bounds(segs: DataFrame):
+    """ONE scalar agg job: (n, x0, x1, y0, y1) — shared by cell sizing, cover and
+    strip planning so each split round launches a single metadata action."""
+    row = segs.agg(
+        F.count("*").alias("n"),
+        F.min(F.least("ax", "bx")).alias("x0"),
+        F.max(F.greatest("ax", "bx")).alias("x1"),
+        F.min(F.least("ay", "by")).alias("y0"),
+        F.max(F.greatest("ay", "by")).alias("y1"),
+    ).first()
+    return (
+        int(row["n"]),
+        int(row["x0"] or 0),
+        int(row["x1"] or 0),
+        int(row["y0"] or 0),
+        int(row["y1"] or 0),
+    )
+
+
 def salted_cover(
-    segs: DataFrame, cells_per_axis: int, hot_threshold: int = 20000
+    segs: DataFrame,
+    cells_per_axis: int,
+    hot_threshold: int = 20000,
+    bounds: tuple[int, int, int, int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Grid cover with TARGETED hot-cell salting: every segment is exploded into
     the coarse cells its bbox covers; cells whose load exceeds hot_threshold are
@@ -133,15 +155,11 @@ def salted_cover(
     sub-cell containing p.
 
     Returns (cover_df with group key (cx, cy, sx, sy), loads_df)."""
-    bounds = segs.agg(
-        F.min(F.least("ax", "bx")).alias("x0"),
-        F.max(F.greatest("ax", "bx")).alias("x1"),
-        F.min(F.least("ay", "by")).alias("y0"),
-        F.max(F.greatest("ay", "by")).alias("y1"),
-    ).collect()[0]
-    x0, x1 = int(bounds["x0"]), int(bounds["x1"])
-    y0 = int(bounds["y0"])
-    extent = max(x1 - x0, int(bounds["y1"]) - y0, 1)
+    if bounds is None:
+        n, x0, x1, y0, y1 = _count_and_bounds(segs)
+    else:
+        n, x0, x1, y0, y1 = bounds
+    extent = max(x1 - x0, y1 - y0, 1)
     cell = max(1, (extent + cells_per_axis - 1) // cells_per_axis)
 
     cx_seq = (
@@ -155,6 +173,13 @@ def salted_cover(
         .withColumn("cy", F.explode(F.expr(cy_seq)))
     )
     loads = covered.groupBy("cx", "cy").count()
+    if n <= hot_threshold:
+        # no cell can exceed the threshold's order of magnitude — skip the
+        # histogram shuffle + broadcast join entirely (latency on small rounds)
+        return (
+            covered.withColumn("sx", F.lit(0)).withColumn("sy", F.lit(0)),
+            loads,
+        )
     hot = (
         loads.where(F.col("count") > hot_threshold)
         .select("cx", "cy")
@@ -183,15 +208,18 @@ def salted_cover(
     return cold.unionByName(hotc), loads
 
 
-def split_round(segs: DataFrame, cells_per_axis: int, hot_threshold: int = 20000) -> tuple[DataFrame, DataFrame]:
+def split_round(
+    segs: DataFrame,
+    cells_per_axis: int,
+    hot_threshold: int = 20000,
+    bounds: tuple[int, int, int, int, int] | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """One split round: returns (marks_df, stats). Hot cells are salted to a 4x4
     finer sub-grid via salted_cover (only hot-cell segments re-explode)."""
-    spark = segs.sparkSession
-    cover, loads = salted_cover(segs, cells_per_axis, hot_threshold)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cover, loads = salted_cover(segs, cells_per_axis, hot_threshold, bounds)
     marks = (
-        cover.repartition(n_part, "cx", "cy", "sx", "sy")
-        .groupBy("cx", "cy", "sx", "sy")
+        cover.groupBy("cx", "cy", "sx", "sy")  # groupBy hash-shuffles on the key;
+        # an explicit repartition first would add a second full shuffle
         .applyInPandas(lambda pdf: _find_marks_kernel(pdf), schema=MARKS_SCHEMA)
         .dropDuplicates(["ax", "ay", "bx", "by", "px", "py"])
     )
@@ -261,18 +289,23 @@ def split_segments_df(
     max_rounds: int = 16,
     checkpoint_dir: str | None = None,
     extra_aggs: dict[str, str] | None = None,
+    pre_merged: bool = False,
 ) -> DataFrame:
     """A9 fixpoint: repeat split rounds until no marks (rounded intersections can
     move sub-segments onto new crossings). Each round localCheckpoints (or writes a
-    durable checkpoint when checkpoint_dir is set)."""
-    segs = merge_segments_df(segs, extra_aggs).localCheckpoint(eager=True)
+    durable checkpoint when checkpoint_dir is set). pre_merged=True skips the
+    initial coincident-merge job when the caller already ran it."""
+    if not pre_merged:
+        segs = merge_segments_df(segs, extra_aggs).localCheckpoint(eager=True)
+    last_n = None
     for rnd in range(max_rounds):
-        n = segs.count()
-        cells_per_axis = max(1, int((n / max(target_per_cell, 1)) ** 0.5))
-        marks, _ = split_round(segs, cells_per_axis)
+        bounds = _count_and_bounds(segs)  # one scalar job: count + bbox together
+        last_n = bounds[0]
+        cells_per_axis = max(1, int((bounds[0] / max(target_per_cell, 1)) ** 0.5))
+        marks, _ = split_round(segs, cells_per_axis, bounds=bounds)
         marks = marks.localCheckpoint(eager=True)
         if marks.isEmpty():
-            return segs
+            break
         segs = apply_marks_df(segs, marks, extra_aggs)
         if checkpoint_dir is not None:
             path = f"{checkpoint_dir}/split_r{rnd}"
@@ -280,6 +313,8 @@ def split_segments_df(
             segs = segs.sparkSession.read.parquet(path)
         else:
             segs = segs.localCheckpoint(eager=True)
+        last_n = None  # marks were applied after the count; stale
+    segs._ioverlay_n_segments = last_n  # fills sizing hint (skips a count job)
     return segs
 
 
@@ -339,11 +374,13 @@ def compute_fills_df(
     strip, hence is present in the group."""
     spark = segs.sparkSession
     if n_strips is None:
-        n = segs.count()
+        n = getattr(segs, "_ioverlay_n_segments", None)
+        if n is None:
+            n = segs.count()
         n_strips = max(1, min(512, n // 4000))
-    # strip edges from midpoint quantiles (doubled-coordinate midpoints)
-    mids = segs.select(((F.col("ax") + F.col("bx"))).alias("mx2"))
     if n_strips > 1:
+        # strip edges from midpoint quantiles (doubled-coordinate midpoints)
+        mids = segs.select(((F.col("ax") + F.col("bx"))).alias("mx2"))
         qs = mids.approxQuantile("mx2", [i / n_strips for i in range(1, n_strips)], 0.001)
         edges = sorted(set(int(q) for q in qs))
     else:
@@ -367,12 +404,52 @@ def compute_fills_df(
         .withColumn("is_home", F.col("strip") == F.col("s_mid"))
         .select("ax", "ay", "bx", "by", "subj", "clip", "strip", "is_home")
     )
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
-        with_strips.repartition(max(n_part, n_strips), "strip")
-        .groupBy("strip")
+        with_strips.groupBy("strip")  # hash-shuffles on strip; no extra repartition
         .applyInPandas(_strip_fill_kernel(fill_rule), schema=FILL_SCHEMA)
     )
+
+
+def _local_overlay_kernel(rule: OverlayRule, fill_rule: FillRule, options: OverlayOptions):
+    """One-task exact kernel over a merged segment set: split fixpoint + fill +
+    extract + hole binding, all in numpy/python — the List-solver analog."""
+    from ..kernel.extract import extract_shapes, ring_area2
+    from ..kernel.fill import compute_fills as kernel_fills
+    from ..kernel.segments import Segments
+    from ..kernel.split import split_segments as kernel_split
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        segs = Segments(
+            pdf["ax"].to_numpy(np.int64),
+            pdf["ay"].to_numpy(np.int64),
+            pdf["bx"].to_numpy(np.int64),
+            pdf["by"].to_numpy(np.int64),
+            pdf["subj"].to_numpy(np.int64),
+            pdf["clip"].to_numpy(np.int64),
+        )
+        segs = kernel_split(segs)
+        fills = kernel_fills(segs, fill_rule)
+        shapes = extract_shapes(segs, fills, rule, options)
+        rows = []
+        rid = 0
+        for si, shape in enumerate(shapes):
+            for ri, ring in enumerate(shape):
+                rows.append(
+                    (
+                        si,
+                        rid,
+                        ri > 0,
+                        [int(p[0]) for p in ring],
+                        [int(p[1]) for p in ring],
+                        int(ring_area2(ring)),
+                    )
+                )
+                rid += 1
+        return pd.DataFrame(
+            rows, columns=["shape_id", "ring_id", "is_hole", "pts_x", "pts_y", "area2"]
+        )
+
+    return run
 
 
 def distributed_overlay(
@@ -381,8 +458,21 @@ def distributed_overlay(
     fill_rule: FillRule = FillRule.EVEN_ODD,
     options: OverlayOptions | None = None,
     checkpoint_dir: str | None = None,
+    small_threshold: int = 100_000,
+    force_distributed: bool = False,
 ) -> DataFrame:
     """End-to-end distributed boolean overlay of ONE huge job.
+
+    Strategy dispatch (reference Solver::is_list_split / is_fragmentation_required,
+    iOverlay/src/core/solver.rs:141-189, applied at pipeline level): the
+    distributed MERGE always runs (it is the stage that shrinks the data — e.g. a
+    contiguous checkerboard's interior edges cancel), then the POST-MERGE segment
+    count picks the plan. At or below `small_threshold` the remaining problem fits
+    one executor task: a single applyInPandas runs the exact kernel (split + fill
+    + extract + hole binding) — one job instead of ~12 driver-coordinated jobs.
+    Above it (or with force_distributed), the fully distributed fixpoint /
+    x-strip fill / component extraction pipeline runs. Differential tests assert
+    both paths agree.
 
     segs: (ax, ay, bx, by, subj, clip) raw directed-normalized segments (e.g. from
     the DataFrame segment builder). Returns rings: (shape_id, ring_id, is_hole,
@@ -390,33 +480,50 @@ def distributed_overlay(
     from ..session import ship_package
 
     ship_package(segs.sparkSession)
-    from .distributed_extract import extract_shapes_df
+    from .distributed_extract import RINGS_OUT_SCHEMA, extract_shapes_df
 
     if options is None:
         options = OverlayOptions()
-    split = split_segments_df(segs, checkpoint_dir=checkpoint_dir)
+    merged = merge_segments_df(segs).localCheckpoint(eager=True)
+    bounds = _count_and_bounds(merged)
+    if not force_distributed and bounds[0] <= small_threshold:
+        return (
+            merged.withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(
+                _local_overlay_kernel(rule, fill_rule, options), schema=RINGS_OUT_SCHEMA
+            )
+        )
+    split = split_segments_df(merged, checkpoint_dir=checkpoint_dir, pre_merged=True)
     fills = compute_fills_df(split, fill_rule)
     return extract_shapes_df(fills, rule, options)
 
 
 def contours_to_segments_df(spark: SparkSession, contours_df: DataFrame) -> DataFrame:
-    """(role, cid, pts_x, pts_y) contour rows -> normalized segments, pure Column ops
-    (same construct as queries.segments_build: posexplode + lead + wrap). `cid` must
-    be a caller-provided stable contour id (determinism across partitionings)."""
-    exploded = contours_df.select(
-        "role",
-        "cid",
-        F.posexplode(F.arrays_zip("pts_x", "pts_y")).alias("pos", "p"),
-    )
-    from pyspark.sql.window import Window
+    """(role, cid, pts_x, pts_y) contour rows -> normalized segments, pure Column ops.
 
-    w = Window.partitionBy("cid").orderBy("pos")
-    nxt = exploded.select(
+    Map-side only: edge pairs are built INSIDE the array columns (transform over
+    index i pairing point i with point (i+1) mod n), then exploded — no window,
+    no shuffle (a lead()-window formulation would range-shuffle every point).
+    `cid` remains the caller-provided stable contour id (determinism), though the
+    output no longer depends on it."""
+    pairs = contours_df.where(F.size("pts_x") >= 2).select(
         "role",
-        F.col("p.pts_x").alias("p0x"),
-        F.col("p.pts_y").alias("p0y"),
-        F.coalesce(F.lead("p.pts_x").over(w), F.first("p.pts_x").over(w)).alias("p1x"),
-        F.coalesce(F.lead("p.pts_y").over(w), F.first("p.pts_y").over(w)).alias("p1y"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(pts_x) - 1), i -> struct("
+                " pts_x[i] AS p0x, pts_y[i] AS p0y,"
+                " pts_x[(i + 1) % size(pts_x)] AS p1x,"
+                " pts_y[(i + 1) % size(pts_x)] AS p1y))"
+            )
+        ).alias("e"),
+    )
+    nxt = pairs.select(
+        "role",
+        F.col("e.p0x").alias("p0x"),
+        F.col("e.p0y").alias("p0y"),
+        F.col("e.p1x").alias("p1x"),
+        F.col("e.p1y").alias("p1y"),
     ).where((F.col("p0x") != F.col("p1x")) | (F.col("p0y") != F.col("p1y")))
     fwd = (F.col("p0x") < F.col("p1x")) | (
         (F.col("p0x") == F.col("p1x")) & (F.col("p0y") < F.col("p1y"))

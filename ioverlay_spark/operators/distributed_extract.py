@@ -58,10 +58,52 @@ def boundary_segments_df(fills: DataFrame, rule: OverlayRule) -> DataFrame:
     ).drop("s_top", "s_bot", "c_top", "c_bot")
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
-    """Alternating large-star/small-star connected components (Kiveris et al.):
-    edges(u, v) long node ids -> (node, component). Converges in O(log n) rounds;
-    each round localCheckpoints to cut lineage (resumable at stage granularity)."""
+def _union_find_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Single-task DSU over one edge batch: (node, component=min id of component)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            # union by smaller root id -> the root IS the min of the component
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    nodes = set(map(int, pdf["u"].to_numpy())) | set(map(int, pdf["v"].to_numpy()))
+    rows = [(n, find(n)) for n in nodes]
+    return pd.DataFrame(rows, columns=["node", "component"])
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 40, local_threshold: int = 500_000
+) -> DataFrame:
+    """Connected components: edges(u, v) long node ids -> (node, component=min id).
+
+    Strategy dispatch (the reference Solver's list/tree/frag idea, A3): below
+    `local_threshold` edges the whole problem fits one executor task — a single
+    applyInPandas union-find (ONE job, no driver loop); above it, alternating
+    large-star/small-star label propagation (Kiveris et al.), O(log n) rounds of
+    joins + aggregates, each round localCheckpointed to cut lineage. Both paths
+    produce identical output (component = min node id of the component)."""
+    if edges.count() <= local_threshold:
+        schema = StructType(
+            [StructField("node", LongType()), StructField("component", LongType())]
+        )
+        return (
+            edges.select("u", "v")
+            .withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(lambda pdf: _union_find_kernel(pdf), schema=schema)
+        )
     e = edges.select("u", "v").where(F.col("u") != F.col("v")).distinct()
     # undirected -> keep both directions for neighborhood construction
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -111,6 +153,19 @@ def connected_components(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             break
     return parent.select(F.col("u").alias("node"), F.col("p").alias("component"))
 
+
+# final output of both overlay plans (distributed extraction and the one-task
+# small-path kernel): resolved shape ids + rings
+RINGS_OUT_SCHEMA = StructType(
+    [
+        StructField("shape_id", LongType()),
+        StructField("ring_id", LongType()),
+        StructField("is_hole", BooleanType()),
+        StructField("pts_x", ArrayType(LongType())),
+        StructField("pts_y", ArrayType(LongType())),
+        StructField("area2", LongType()),
+    ]
+)
 
 RINGS_SCHEMA = StructType(
     [
@@ -194,21 +249,27 @@ def _node_expr(x: str, y: str) -> F.Column:
 
 
 def _ring_segments_df(rings: DataFrame) -> DataFrame:
-    """Ring polylines -> normalized non-vertical segments (ring_id, ax, ay, bx, by),
-    pure Column ops (posexplode + lead window with wrap). Vertical segments drop
+    """Ring polylines -> normalized non-vertical segments (ring_id, ax, ay, bx, by).
+    Map-side only: edge pairs built inside the array columns (index i paired with
+    (i+1) mod n) then exploded — no window, no shuffle. Vertical segments drop
     out naturally (the downward-ray test uses the half-open span [ax, bx))."""
-    from pyspark.sql.window import Window
-
-    exploded = rings.select(
-        "ring_id", F.posexplode(F.arrays_zip("pts_x", "pts_y")).alias("pos", "p")
-    )
-    w = Window.partitionBy("ring_id").orderBy("pos")
-    nxt = exploded.select(
+    pairs = rings.where(F.size("pts_x") >= 2).select(
         "ring_id",
-        F.col("p.pts_x").alias("p0x"),
-        F.col("p.pts_y").alias("p0y"),
-        F.coalesce(F.lead("p.pts_x").over(w), F.first("p.pts_x").over(w)).alias("p1x"),
-        F.coalesce(F.lead("p.pts_y").over(w), F.first("p.pts_y").over(w)).alias("p1y"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(pts_x) - 1), i -> struct("
+                " pts_x[i] AS p0x, pts_y[i] AS p0y,"
+                " pts_x[(i + 1) % size(pts_x)] AS p1x,"
+                " pts_y[(i + 1) % size(pts_x)] AS p1y))"
+            )
+        ).alias("e"),
+    )
+    nxt = pairs.select(
+        "ring_id",
+        F.col("e.p0x").alias("p0x"),
+        F.col("e.p0y").alias("p0y"),
+        F.col("e.p1x").alias("p1x"),
+        F.col("e.p1y").alias("p1y"),
     ).where(F.col("p0x") != F.col("p1x"))
     fwd = F.col("p0x") < F.col("p1x")
     return nxt.select(
@@ -309,10 +370,9 @@ def extract_shapes_df(
         .join(comp, on=F.col("u") == comp["node"])
         .drop("node", "u")
     )
-    n_part = int(fills.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     rings = (
-        labeled.repartition(n_part, "component")
-        .groupBy("component")
+        labeled.groupBy("component")  # groupBy already hash-shuffles on the key;
+        # an explicit repartition would add a second full shuffle
         .applyInPandas(_extract_kernel(rule, options), schema=RINGS_SCHEMA)
         .localCheckpoint(eager=True)
     )

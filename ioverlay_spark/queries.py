@@ -1037,7 +1037,11 @@ def _q_distributed_checkerboard():
                 k += 1
         df = spark.createDataFrame(rows, ["role", "cid", "pts_x", "pts_y"])
         out = distributed_overlay(
-            contours_to_segments_df(spark, df), OverlayRule.XOR, FillRule.EVEN_ODD
+            contours_to_segments_df(spark, df),
+            OverlayRule.XOR,
+            FillRule.EVEN_ODD,
+            force_distributed=True,  # evidence the distributed machinery, not the
+            # small-path kernel the size dispatch would otherwise pick
         )
         return out.groupBy().agg(
             F.sum("area2").cast("long").alias("total_area2")
@@ -1085,7 +1089,11 @@ def _q_distributed_holes():
                     k += 1
         df = spark.createDataFrame(rows, ["role", "cid", "pts_x", "pts_y"])
         out = distributed_overlay(
-            contours_to_segments_df(spark, df), OverlayRule.XOR, FillRule.EVEN_ODD
+            contours_to_segments_df(spark, df),
+            OverlayRule.XOR,
+            FillRule.EVEN_ODD,
+            force_distributed=True,  # evidence the distributed machinery, not the
+            # small-path kernel the size dispatch would otherwise pick
         )
         return out.groupBy().agg(
             F.count_distinct("shape_id").cast("long").alias("n_shapes"),

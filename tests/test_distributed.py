@@ -119,7 +119,9 @@ def test_distributed_extract_matches_kernel_areas(spark, board, rule_name):
     from ioverlay_spark.operators.distributed import contours_to_segments_df, distributed_overlay
 
     rule = OverlayRule(rule_name)
-    out = distributed_overlay(contours_to_segments_df(spark, df), rule, FillRule.EVEN_ODD)
+    out = distributed_overlay(
+        contours_to_segments_df(spark, df), rule, FillRule.EVEN_ODD, force_distributed=True
+    )
     pdf = out.toPandas()
     got = sorted(int(a) for a in pdf["area2"].tolist())
     exp = kernel_reference(subj, clip, rule, FillRule.EVEN_ODD)
@@ -127,6 +129,13 @@ def test_distributed_extract_matches_kernel_areas(spark, board, rule_name):
     # hole binding sanity: every hole's shape_id is some hull's ring_id
     hull_ids = set(pdf.loc[~pdf["is_hole"], "ring_id"])
     assert set(pdf.loc[pdf["is_hole"], "shape_id"]).issubset(hull_ids)
+    # strategy dispatch: the small-path one-task kernel must agree with the
+    # fully distributed plan (areas + hole structure)
+    small = distributed_overlay(
+        contours_to_segments_df(spark, df), rule, FillRule.EVEN_ODD
+    ).toPandas()
+    assert sorted(small["area2"].tolist()) == got
+    assert sorted(small["is_hole"].tolist()) == sorted(pdf["is_hole"].tolist())
 
 
 def test_hole_binding_nested_innermost(spark):
