@@ -167,44 +167,25 @@ def _fills_batch(segs: Segments, fill_rule: FillRule, tile_lo: np.ndarray) -> np
     )
 
 
-def overlay_batch(
-    jobs: list[tuple[list[np.ndarray], list[np.ndarray]]],
-    rules: list[OverlayRule],
-    fill_rule: FillRule = FillRule.EVEN_ODD,
-    options: OverlayOptions = DEFAULT_OPTIONS,
-) -> list[dict[OverlayRule, Shapes]]:
-    """Run a batch of (subj_rings, clip_rings) jobs; returns per-job {rule: shapes}.
+_EMPTY = "empty"
 
-    Bit-identical to per-job kernel runs (tiles are disjoint in x, so no stage ever
-    pairs segments across jobs). Falls back to the scalar path when coordinates are
-    large enough to need python-int math batch-wide."""
-    rules = [OverlayRule(r) for r in rules]
-    nj = len(jobs)
-    if nj == 0:
-        return []
-    if nj == 1:
-        return _scalar_batch(jobs, rules, fill_rule, options)
 
-    # ---- ingest + clean -----------------------------------------------------
-    ring_pts: list[np.ndarray] = []
-    ring_job: list[int] = []
-    ring_subj: list[bool] = []
-    for jid, (subj, clip) in enumerate(jobs):
-        for r in subj:
-            ring_pts.append(np.asarray(r, dtype=np.int64).reshape(-1, 2))
-            ring_job.append(jid)
-            ring_subj.append(True)
-        for r in clip:
-            ring_pts.append(np.asarray(r, dtype=np.int64).reshape(-1, 2))
-            ring_job.append(jid)
-            ring_subj.append(False)
+def vectorized_ring_segments(ring_pts, ring_job, ring_subj, options=DEFAULT_OPTIONS):
+    """Vectorized ingest of many rings at once: normalized directed segments with
+    winding counts and per-segment job ids. Clean rings build entirely in numpy;
+    dirty rings (dup/collinear vertices) take the reference-exact scalar cleanup.
+
+    Returns (ax, ay, bx, by, subj, clip, ejob), _EMPTY, or None (coords too large
+    for int64-safe batch math — caller must use the scalar path)."""
     nr = len(ring_pts)
     if nr == 0:
-        return [{rule: [] for rule in rules} for _ in range(nj)]
+        return _EMPTY
     counts = np.array([len(p) for p in ring_pts], dtype=np.int64)
     P = np.concatenate(ring_pts, axis=0) if nr else np.zeros((0, 2), np.int64)
-    if len(P) == 0 or int(np.abs(P).max(initial=0)) >= _COORD_CAP:
-        return _scalar_batch(jobs, rules, fill_rule, options)
+    if len(P) == 0:
+        return _EMPTY
+    if int(np.abs(P).max(initial=0)) >= _COORD_CAP:
+        return None
     S = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
     ring_of = np.repeat(np.arange(nr, dtype=np.int64), counts)
     idx = np.arange(len(P), dtype=np.int64)
@@ -259,14 +240,48 @@ def overlay_batch(
         parts_c.append(sg.clip)
         parts_j.append(np.full(len(sg), ring_job[r], dtype=np.int64))
     ax = np.concatenate(parts_ax)
-    ay = np.concatenate(parts_ay)
-    bx = np.concatenate(parts_bx)
-    by = np.concatenate(parts_by)
-    subj = np.concatenate(parts_s)
-    clip = np.concatenate(parts_c)
-    ejob = np.concatenate(parts_j)
     if len(ax) == 0:
-        return [{rule: [] for rule in rules} for _ in range(nj)]
+        return _EMPTY
+    return (
+        ax,
+        np.concatenate(parts_ay),
+        np.concatenate(parts_bx),
+        np.concatenate(parts_by),
+        np.concatenate(parts_s),
+        np.concatenate(parts_c),
+        np.concatenate(parts_j),
+    )
+
+
+def _batch_tiled_segments(jobs, options):
+    """Shared ingest + tile placement: jobs' rings -> one raw normalized Segments
+    set with each job translated into its own disjoint x-tile.
+
+    Returns (Segments, off, y0, W), the string _EMPTY (no segments at all), or
+    None (huge coords / overflow risk: caller must take the scalar path)."""
+    nj = len(jobs)
+    # ---- ingest + clean -----------------------------------------------------
+    ring_pts: list[np.ndarray] = []
+    ring_job: list[int] = []
+    ring_subj: list[bool] = []
+    for jid, (subj, clip) in enumerate(jobs):
+        for r in subj:
+            ring_pts.append(np.asarray(r, dtype=np.int64).reshape(-1, 2))
+            ring_job.append(jid)
+            ring_subj.append(True)
+        for r in clip:
+            ring_pts.append(np.asarray(r, dtype=np.int64).reshape(-1, 2))
+            ring_job.append(jid)
+            ring_subj.append(False)
+    nr = len(ring_pts)
+    if nr == 0:
+        return _EMPTY
+    t = vectorized_ring_segments(ring_pts, ring_job, ring_subj, options)
+    if t is None:
+        return None
+    if t == _EMPTY:
+        return _EMPTY
+    ax, ay, bx, by, subj, clip, ejob = t
 
     # ---- tile placement -----------------------------------------------------
     BIG = np.int64(1 << 62)
@@ -281,29 +296,43 @@ def overlay_batch(
     y0 = int(min(ay.min(), by.min()))
     H = int(max(ay.max(), by.max())) - y0 + 1
     if W * max(H, 1) >= (1 << 60) or W * nj >= (1 << 62):
-        return _scalar_batch(jobs, rules, fill_rule, options)
+        return None
     off = np.arange(nj, dtype=np.int64) * W + 2 - minx
     ax = ax + off[ejob]
     bx = bx + off[ejob]
     ay = ay - y0
     by = by - y0
+    return Segments(ax, ay, bx, by, subj, clip), off, y0, W
 
-    # ---- merge + split + fill ----------------------------------------------
-    segs = _split_batch(Segments(ax, ay, bx, by, subj, clip))
+
+def graph_batch(
+    jobs: list[tuple[list[np.ndarray], list[np.ndarray]]],
+    fill_rule: FillRule = FillRule.EVEN_ODD,
+    options: OverlayOptions = DEFAULT_OPTIONS,
+):
+    """Batched split+fill: per-job (Segments, fills) in ORIGINAL coordinates, via
+    one tiled _split_batch + _fills_batch pass. Returns None when the batch needs
+    the scalar path (caller falls back to per-job build_graph)."""
+    nj = len(jobs)
+    t = _batch_tiled_segments(jobs, options)
+    if t is None:
+        return None
+    empty = Segments(*[np.empty(0, dtype=np.int64)] * 6)
+    if t == _EMPTY:
+        return [(empty, np.empty(0, dtype=np.uint8)) for _ in range(nj)]
+    raw, off, y0, W = t
+    segs = _split_batch(raw)
     n = len(segs)
-    results: list[dict[OverlayRule, Shapes]] = [{rule: [] for rule in rules} for _ in range(nj)]
     if n == 0:
-        return results
+        return [(empty, np.empty(0, dtype=np.uint8)) for _ in range(nj)]
     starts = np.searchsorted(segs.ax, np.arange(nj + 1, dtype=np.int64) * W)
     seg_tile = np.searchsorted(starts, np.arange(n, dtype=np.int64), side="right") - 1
     all_fills = _fills_batch(segs, fill_rule, starts[seg_tile])
-    # boundary masks per rule, computed ONCE over the whole batch and sliced per tile
-    from .extract import boundary_mask
-
-    rule_masks = {rule: boundary_mask(all_fills, rule) for rule in rules}
+    out = []
     for slot in range(nj):
         lo, hi = int(starts[slot]), int(starts[slot + 1])
         if lo == hi:
+            out.append((empty, np.empty(0, dtype=np.uint8)))
             continue
         sub = Segments(
             segs.ax[lo:hi] - int(off[slot]),
@@ -313,9 +342,41 @@ def overlay_batch(
             segs.subj[lo:hi],
             segs.clip[lo:hi],
         )
-        fills = all_fills[lo:hi]
+        out.append((sub, all_fills[lo:hi]))
+    return out
+
+
+def overlay_batch(
+    jobs: list[tuple[list[np.ndarray], list[np.ndarray]]],
+    rules: list[OverlayRule],
+    fill_rule: FillRule = FillRule.EVEN_ODD,
+    options: OverlayOptions = DEFAULT_OPTIONS,
+) -> list[dict[OverlayRule, Shapes]]:
+    """Run a batch of (subj_rings, clip_rings) jobs; returns per-job {rule: shapes}.
+
+    Bit-identical to per-job kernel runs (tiles are disjoint in x, so no stage ever
+    pairs segments across jobs). Falls back to the scalar path when coordinates are
+    large enough to need python-int math batch-wide."""
+    rules = [OverlayRule(r) for r in rules]
+    nj = len(jobs)
+    if nj == 0:
+        return []
+    if nj == 1:
+        return _scalar_batch(jobs, rules, fill_rule, options)
+    graphs = graph_batch(jobs, fill_rule, options)
+    if graphs is None:
+        return _scalar_batch(jobs, rules, fill_rule, options)
+    from .extract import boundary_mask
+
+    results: list[dict[OverlayRule, Shapes]] = []
+    for sub, fills in graphs:
+        res = {}
         for rule in rules:
-            results[slot][rule] = extract_shapes(
-                sub, fills, rule, options, boundary=rule_masks[rule][lo:hi]
-            )
+            if len(sub) == 0:
+                res[rule] = []
+            else:
+                res[rule] = extract_shapes(
+                    sub, fills, rule, options, boundary=boundary_mask(fills, rule)
+                )
+        results.append(res)
     return results

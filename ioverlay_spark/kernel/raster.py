@@ -34,6 +34,9 @@ def rasterize(
     cy2 = 2 * oy + (2 * np.arange(h, dtype=np.int64) + 1) * px  # (h,)
     cx2 = 2 * ox + (2 * np.arange(w, dtype=np.int64) + 1) * px  # (w,)
 
+    # gather all ring edges, normalized to ax<bx with count +-1 (vertical edges
+    # never cross the downward ray)
+    ea, eb, ecnt = [], [], []
     for ring in rings:
         pts = np.asarray(ring, dtype=np.int64).reshape(-1, 2)
         n = len(pts)
@@ -41,31 +44,41 @@ def rasterize(
             continue
         p0 = pts
         p1 = np.roll(pts, -1, axis=0)
-        # normalize to ax<bx, count +-1; vertical edges never cross the ray
         fwd = p0[:, 0] < p1[:, 0]
         bwd = p1[:, 0] < p0[:, 0]
         keep = fwd | bwd
-        a = np.where(fwd[:, None], p0, p1)[keep]
-        b = np.where(fwd[:, None], p1, p0)[keep]
-        cnt = np.where(fwd[keep], 1, -1).astype(np.int64)
-        # for each edge and each pixel column: does the column's center x lie in [ax, bx)?
-        # wind contribution to rows whose center y is ABOVE the edge at that x.
-        for e in range(len(a)):
-            axe, aye = int(a[e, 0]), int(a[e, 1])
-            bxe, bye = int(b[e, 0]), int(b[e, 1])
-            dt = bxe - axe
-            span = (cx2 >= 2 * axe) & (cx2 < 2 * bxe)
-            if not span.any():
-                continue
-            cols = np.flatnonzero(span)
-            # edge y at center x (rational): num/ (2*dt) vs center y
-            num = 2 * aye * dt + (bye - aye) * (cx2[cols] - 2 * axe)  # = y_edge * 2dt
-            # filled-above test per row: cy2 * dt >= num (dt > 0). The >= makes a
-            # center lying exactly ON an edge count as above it, which yields the
-            # half-open [y1, y2) convention on axis-aligned input (matching the x
-            # span's [x1, x2)) — consistent with the closed-form pixel-count oracle.
-            above = cy2[:, None] * dt >= num[None, :]
-            mask_wind[:, cols] += above * cnt[e]
+        ea.append(np.where(fwd[:, None], p0, p1)[keep])
+        eb.append(np.where(fwd[:, None], p1, p0)[keep])
+        ecnt.append(np.where(fwd[keep], 1, -1).astype(np.int64))
+    if not ea:
+        return np.zeros((h, w), dtype=bool)
+    a = np.concatenate(ea)
+    b = np.concatenate(eb)
+    cnt = np.concatenate(ecnt)
+
+    # vectorized over (edge, column) pairs: column c is in the edge's x-span iff
+    # 2*ax <= cx2[c] < 2*bx, i.e. c in [ceil((2(ax-ox)-px)/(2px)), same for bx)
+    def ceil_div(n_arr, d):
+        return -((-n_arr) // d)
+
+    c0 = np.clip(ceil_div(2 * (a[:, 0] - ox) - px, 2 * px), 0, w)
+    c1 = np.clip(ceil_div(2 * (b[:, 0] - ox) - px, 2 * px), 0, w)
+    counts = np.maximum(c1 - c0, 0)
+    total = int(counts.sum())
+    if total:
+        e_rep = np.repeat(np.arange(len(a), dtype=np.int64), counts)
+        cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+        cols = np.arange(total, dtype=np.int64) - cum[e_rep] + c0[e_rep]
+        dt = b[e_rep, 0] - a[e_rep, 0]
+        # edge y at center x (rational): num / (2*dt) vs center y; the >= makes a
+        # center exactly ON an edge count as above it (half-open [y1, y2) on
+        # axis-aligned input, matching the x span's [x1, x2))
+        num = 2 * a[e_rep, 1] * dt + (b[e_rep, 1] - a[e_rep, 1]) * (cx2[cols] - 2 * a[e_rep, 0])
+        above = cy2[None, :] * dt[:, None] >= num[:, None]  # (pairs, h)
+        contrib = above * cnt[e_rep][:, None]
+        wind_t = np.zeros((w, h), dtype=np.int64)
+        np.add.at(wind_t, cols, contrib)
+        mask_wind = wind_t.T
 
     if fill_rule == FillRule.EVEN_ODD:
         return (mask_wind & 1).astype(bool)
@@ -74,6 +87,43 @@ def rasterize(
     if fill_rule == FillRule.POSITIVE:
         return mask_wind > 0
     return mask_wind < 0
+
+
+def rasterize_rects(
+    rects: np.ndarray,
+    origin: tuple[int, int],
+    size_px: tuple[int, int],
+    px: int,
+    fill_rule: FillRule = FillRule.EVEN_ODD,
+) -> np.ndarray:
+    """Batched axis-aligned-rectangle rasterization, fully vectorized: each CCW
+    rect contributes +1 winding on the half-open pixel-center box [x1,x2)x[y1,y2)
+    (exactly rasterize()'s math for a rect ring — differential-tested); windings
+    accumulate via corner deltas + 2-D cumsum. rects: (n, 4) int64 (x1,y1,x2,y2)."""
+    w, h = size_px
+    r = np.asarray(rects, dtype=np.int64).reshape(-1, 4)
+    ox, oy = origin
+
+    def ceil_div(n_arr, d):
+        return -((-n_arr) // d)
+
+    c0 = np.clip(ceil_div(2 * (r[:, 0] - ox) - px, 2 * px), 0, w)
+    c1 = np.clip(ceil_div(2 * (r[:, 2] - ox) - px, 2 * px), 0, w)
+    r0 = np.clip(ceil_div(2 * (r[:, 1] - oy) - px, 2 * px), 0, h)
+    r1 = np.clip(ceil_div(2 * (r[:, 3] - oy) - px, 2 * px), 0, h)
+    delta = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.add.at(delta, (r0, c0), 1)
+    np.add.at(delta, (r0, c1), -1)
+    np.add.at(delta, (r1, c0), -1)
+    np.add.at(delta, (r1, c1), 1)
+    wind = np.cumsum(np.cumsum(delta, axis=0), axis=1)[:h, :w]
+    if fill_rule == FillRule.EVEN_ODD:
+        return (wind & 1).astype(bool)
+    if fill_rule == FillRule.NON_ZERO:
+        return wind != 0
+    if fill_rule == FillRule.POSITIVE:
+        return wind > 0
+    return wind < 0
 
 
 def vectorize(mask: np.ndarray, origin: tuple[int, int], px: int) -> list[np.ndarray]:

@@ -129,7 +129,11 @@ def clip_path(
             w = _winding_below(segs, x0 + x1, y0 + y1)
             keep = _inside(w, fill_rule) != invert
         kept.append(keep)
-    # stitch consecutive kept sub-edges into maximal paths
+    return _stitch_paths(sub, kept)
+
+
+def _stitch_paths(sub: list[tuple], kept: list[bool]) -> list[np.ndarray]:
+    """Stitch consecutive kept sub-edges into maximal paths (path order)."""
     paths: list[list[tuple[int, int]]] = []
     cur: list[tuple[int, int]] = []
     for (x0, y0, x1, y1), keep in zip(sub, kept):
@@ -162,11 +166,26 @@ def slice_shape(
     iOverlay/src/string/slice.rs:11-160): walls = string edges clipped to the
     polygon interior, added double-sided to the region-boundary face walk; the
     min-CW face traversal then yields the sliced sub-regions."""
+    graph = build_graph(body, [], fill_rule, options)
+    wall_paths = []
+    for path in paths:
+        wall_paths.extend(
+            clip_path(body, path, fill_rule, invert=False, boundary_included=False)
+        )
+    return _slice_from_parts(graph.segments, graph.fills, wall_paths, options)
+
+
+def _slice_from_parts(
+    segs: Segments,
+    fills: np.ndarray,
+    wall_paths: list[np.ndarray],
+    options: OverlayOptions = OverlayOptions(),
+) -> list[list[np.ndarray]]:
+    """Face walk over (region boundary from segs+fills) + (interior wall paths):
+    the shared tail of slice_shape and its batched variant."""
     from ..options import OverlayRule
     from .extract import boundary_mask
 
-    graph = build_graph(body, [], fill_rule, options)
-    segs, fills = graph.segments, graph.fills
     mask = boundary_mask(fills, OverlayRule.SUBJECT)
     idx = np.flatnonzero(mask)
 
@@ -182,15 +201,14 @@ def slice_shape(
         else:
             boundary.append((b, a))
 
-    # walls: clip each path to the interior (boundary excluded)
+    # walls: the clipped interior sub-paths, as undirected point pairs
     walls = []  # undirected (p, q)
-    for path in paths:
-        for sub in clip_path(body, path, fill_rule, invert=False, boundary_included=False):
-            for i in range(len(sub) - 1):
-                p = (int(sub[i][0]), int(sub[i][1]))
-                q = (int(sub[i + 1][0]), int(sub[i + 1][1]))
-                if p != q:
-                    walls.append((p, q))
+    for sub in wall_paths:
+        for i in range(len(sub) - 1):
+            p = (int(sub[i][0]), int(sub[i][1]))
+            q = (int(sub[i + 1][0]), int(sub[i + 1][1]))
+            if p != q:
+                walls.append((p, q))
 
     # split walls at wall-wall crossings / touches (exact)
     walls = _mutual_split(walls)
@@ -350,3 +368,316 @@ def _face_walk_min_cw(dir_edges: list[tuple]) -> list[list[tuple[int, int]]]:
             e = nxt
         rings.append(ring)
     return rings
+
+
+# -----------------------------------------------------------------------------------
+# batched variants: many (body, path) jobs through one vectorized pass
+# (the kernel/batch.py disjoint-x-tile trick applied to the string pipeline)
+
+
+def clip_paths_batch(
+    jobs: list[tuple[list[np.ndarray], np.ndarray]],
+    fill_rule: FillRule = FillRule.NON_ZERO,
+    invert: bool = False,
+    boundary_included: bool = True,
+    is_closed_path: bool = False,
+) -> list[list[np.ndarray]]:
+    """Batched clip_path: each job is translated into its own disjoint x-tile,
+    the polygon split fixpoint runs ONCE over all bodies (kernel/batch._split_batch,
+    bit-identical per tile), and the per-sub-edge O(edges x segments) python loops
+    of the scalar kernel (_split_path_edges / _winding_below / _on_polygon_boundary)
+    become windowed vectorized passes. Bit-identical to per-job clip_path
+    (differential-tested); falls back to the scalar path on huge coordinates."""
+    from .batch import _COORD_CAP, _split_batch
+
+    nj = len(jobs)
+    if nj == 0:
+        return []
+
+    def scalar():
+        return [
+            clip_path(b, p, fill_rule, invert, boundary_included, is_closed_path)
+            for b, p in jobs
+        ]
+
+    if nj == 1:
+        return scalar()
+
+    # vectorized body ingest (kernel/batch.py clean-ring path, dirty rings via the
+    # reference-exact scalar builder) + bbox per job over body AND path
+    from .batch import _EMPTY, vectorized_ring_segments
+
+    ring_pts: list[np.ndarray] = []
+    ring_job: list[int] = []
+    path_pts = []
+    for j, (body, path) in enumerate(jobs):
+        for ring in body:
+            ring_pts.append(np.asarray(ring, dtype=np.int64).reshape(-1, 2))
+            ring_job.append(j)
+        pts = np.asarray(path, dtype=np.int64).reshape(-1, 2)
+        path_pts.append(pts)
+        if len(pts) and int(np.abs(pts).max()) >= _COORD_CAP:
+            return scalar()
+    t = vectorized_ring_segments(ring_pts, ring_job, [True] * len(ring_pts))
+    if t is None:
+        return scalar()
+    if t == _EMPTY:
+        return scalar()  # no body segments anywhere: keep scalar semantics exactly
+    sax, say, sbx, sby, ssubj, sclip, sjob = t
+    has_body = np.zeros(nj, dtype=bool)
+    has_body[sjob] = True
+
+    BIG = np.int64(1 << 62)
+    minx = np.full(nj, BIG, dtype=np.int64)
+    maxx = np.full(nj, -BIG, dtype=np.int64)
+    miny = np.full(nj, BIG, dtype=np.int64)
+    maxy = np.full(nj, -BIG, dtype=np.int64)
+    np.minimum.at(minx, sjob, sax)
+    np.maximum.at(maxx, sjob, sbx)
+    np.minimum.at(miny, sjob, np.minimum(say, sby))
+    np.maximum.at(maxy, sjob, np.maximum(say, sby))
+    for j, pts in enumerate(path_pts):
+        if len(pts):
+            minx[j] = min(int(minx[j]) if minx[j] != BIG else 1 << 61, int(pts[:, 0].min()))
+            maxx[j] = max(int(maxx[j]) if maxx[j] != -BIG else -(1 << 61), int(pts[:, 0].max()))
+            miny[j] = min(int(miny[j]) if miny[j] != BIG else 1 << 61, int(pts[:, 1].min()))
+            maxy[j] = max(int(maxy[j]) if maxy[j] != -BIG else -(1 << 61), int(pts[:, 1].max()))
+    present = maxx >= minx
+    minx[~present] = 0
+    maxx[~present] = 0
+    miny[~present] = 0
+    maxy[~present] = 0
+    W = int((maxx - minx).max(initial=0)) + 8
+    y0 = int(miny.min(initial=0))
+    H = int(maxy.max(initial=0)) - y0 + 1
+    if W * max(H, 1) >= (1 << 60) or W * nj >= (1 << 62):
+        return scalar()
+    off = np.arange(nj, dtype=np.int64) * W + 2 - minx
+
+    # tiled body segments -> one split fixpoint over the whole batch
+    segs = _split_batch(
+        Segments(sax + off[sjob], say - y0, sbx + off[sjob], sby - y0, ssubj, sclip)
+    )
+    ns = len(segs)
+    if ns == 0:
+        return scalar()
+    tile_starts = np.searchsorted(segs.ax, np.arange(nj + 1, dtype=np.int64) * W)
+
+    # path edges in path order (scalar _split_path_edges enumeration), tiled coords
+    e_job: list[int] = []
+    e_ax: list[int] = []
+    e_ay: list[int] = []
+    e_bx: list[int] = []
+    e_by: list[int] = []
+    e_rev: list[bool] = []
+    for j, pts in enumerate(path_pts):
+        n = len(pts)
+        if n < 2:
+            continue
+        cnt = n if is_closed_path else n - 1
+        oj, yj = int(off[j]), y0
+        for e in range(cnt):
+            p0 = (int(pts[e][0]) + oj, int(pts[e][1]) - yj)
+            p1 = (int(pts[(e + 1) % n][0]) + oj, int(pts[(e + 1) % n][1]) - yj)
+            if p0 == p1:
+                continue
+            a, b = (p0, p1) if p0 < p1 else (p1, p0)
+            e_job.append(j)
+            e_ax.append(a[0])
+            e_ay.append(a[1])
+            e_bx.append(b[0])
+            e_by.append(b[1])
+            e_rev.append(p0 != a)
+    ne = len(e_job)
+    marks_per_edge: dict[int, set] = {k: set() for k in range(ne)}
+    if ne and ns:
+        ejob = np.asarray(e_job, dtype=np.int64)
+        eax = np.asarray(e_ax, dtype=np.int64)
+        eay = np.asarray(e_ay, dtype=np.int64)
+        ebx = np.asarray(e_bx, dtype=np.int64)
+        eby = np.asarray(e_by, dtype=np.int64)
+        lo = tile_starts[ejob]
+        hi = np.searchsorted(segs.ax, ebx, side="right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total:
+            k_rep = np.repeat(np.arange(ne, dtype=np.int64), counts)
+            cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+            t = np.arange(total, dtype=np.int64) - cum[k_rep] + lo[k_rep]
+            # bbox prefilter (x upper already via searchsorted)
+            eymin = np.minimum(eay, eby)
+            eymax = np.maximum(eay, eby)
+            symin = np.minimum(segs.ay, segs.by)
+            symax = np.maximum(segs.ay, segs.by)
+            m = (
+                (segs.bx[t] >= eax[k_rep])
+                & (symin[t] <= eymax[k_rep])
+                & (symax[t] >= eymin[k_rep])
+            )
+            k_rep, t = k_rep[m], t[m]
+            # orientation-sign prefilter (kernel/batch._interacting, cross-array form)
+            d1x = ebx[k_rep] - eax[k_rep]
+            d1y = eby[k_rep] - eay[k_rep]
+            d2x = segs.bx[t] - segs.ax[t]
+            d2y = segs.by[t] - segs.ay[t]
+            o1 = np.sign(d1x * (segs.ay[t] - eay[k_rep]) - d1y * (segs.ax[t] - eax[k_rep]))
+            o2 = np.sign(d1x * (segs.by[t] - eay[k_rep]) - d1y * (segs.bx[t] - eax[k_rep]))
+            o3 = np.sign(d2x * (eay[k_rep] - segs.ay[t]) - d2y * (eax[k_rep] - segs.ax[t]))
+            o4 = np.sign(d2x * (eby[k_rep] - segs.ay[t]) - d2y * (ebx[k_rep] - segs.ax[t]))
+            s = (o1 == 0).astype(np.int8) + (o2 == 0) + (o3 == 0) + (o4 == 0)
+            inter = (s == 4) | ((s <= 1) & (o1 != o2) & (o3 != o4))
+            k_rep, t = k_rep[inter], t[inter]
+            for k, ti in zip(k_rep.tolist(), t.tolist()):
+                edge = (int(eax[k]), int(eay[k]), int(ebx[k]), int(eby[k]))
+                seg = (
+                    int(segs.ax[ti]),
+                    int(segs.ay[ti]),
+                    int(segs.bx[ti]),
+                    int(segs.by[ti]),
+                )
+                pm, _ = cross_pair(edge, seg, 2)
+                a = (edge[0], edge[1])
+                b = (edge[2], edge[3])
+                for which, x, y in pm:
+                    if which == 0 and (x, y) != a and (x, y) != b:
+                        marks_per_edge[k].add((x, y))
+
+    # sub-edges in path order (tiled coords)
+    sub_job: list[int] = []
+    sub: list[tuple[int, int, int, int]] = []
+    for k in range(ne):
+        a = (e_ax[k], e_ay[k])
+        b = (e_bx[k], e_by[k])
+        ysign = 1 if b[1] >= a[1] else -1
+        chain = sorted(marks_per_edge[k], key=lambda q: (q[0], ysign * q[1]))
+        run = [a] + chain + [b]
+        if e_rev[k]:
+            run = run[::-1]
+        for i in range(len(run) - 1):
+            if run[i] != run[i + 1]:
+                sub.append((run[i][0], run[i][1], run[i + 1][0], run[i + 1][1]))
+                sub_job.append(e_job[k])
+    nsub = len(sub)
+    kept = np.zeros(nsub, dtype=bool)
+    if nsub and ns:
+        sj = np.asarray(sub_job, dtype=np.int64)
+        sx0 = np.array([s[0] for s in sub], dtype=np.int64)
+        sy0 = np.array([s[1] for s in sub], dtype=np.int64)
+        sx1 = np.array([s[2] for s in sub], dtype=np.int64)
+        sy1 = np.array([s[3] for s in sub], dtype=np.int64)
+        fwd = (sx0 < sx1) | ((sx0 == sx1) & (sy0 < sy1))
+        sax = np.where(fwd, sx0, sx1)
+        say = np.where(fwd, sy0, sy1)
+        sbx = np.where(fwd, sx1, sx0)
+        sby = np.where(fwd, sy1, sy0)
+
+        # boundary containment (vectorized _on_polygon_boundary)
+        on_b = np.zeros(nsub, dtype=bool)
+        lo = tile_starts[sj]
+        hi = np.searchsorted(segs.ax, sax, side="right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total:
+            k_rep = np.repeat(np.arange(nsub, dtype=np.int64), counts)
+            cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+            t = np.arange(total, dtype=np.int64) - cum[k_rep] + lo[k_rep]
+            pax, pay = segs.ax[t], segs.ay[t]
+            pbx, pby = segs.bx[t], segs.by[t]
+            c1 = (pbx - pax) * (say[k_rep] - pay) - (pby - pay) * (sax[k_rep] - pax)
+            c2 = (pbx - pax) * (sby[k_rep] - pay) - (pby - pay) * (sbx[k_rep] - pax)
+            lex_lo = (pax < sax[k_rep]) | ((pax == sax[k_rep]) & (pay <= say[k_rep]))
+            lex_hi = (sbx[k_rep] < pbx) | ((sbx[k_rep] == pbx) & (sby[k_rep] <= pby))
+            ok = (c1 == 0) & (c2 == 0) & lex_lo & lex_hi
+            np.logical_or.at(on_b, k_rep, ok)
+
+        # winding at midpoints (vectorized _winding_below)
+        X2 = sx0 + sx1
+        Y2 = sy0 + sy1
+        wind = np.zeros(nsub, dtype=np.int64)
+        hi = np.searchsorted(2 * segs.ax, X2, side="right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total:
+            k_rep = np.repeat(np.arange(nsub, dtype=np.int64), counts)
+            cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+            t = np.arange(total, dtype=np.int64) - cum[k_rep] + lo[k_rep]
+            dt = segs.bx[t] - segs.ax[t]
+            m = (dt > 0) & (X2[k_rep] < 2 * segs.bx[t])
+            if m.any():
+                k_rep, t, dt = k_rep[m], t[m], dt[m]
+                num = 2 * segs.ay[t] * dt + (segs.by[t] - segs.ay[t]) * (
+                    X2[k_rep] - 2 * segs.ax[t]
+                )
+                below = num < Y2[k_rep] * dt
+                if below.any():
+                    np.add.at(wind, k_rep[below], segs.subj[t[below]])
+        inside = _inside_vec(wind, fill_rule) != invert
+        kept = np.where(on_b, boundary_included, inside)
+
+    # stitch per job (scalar tail, path order preserved) + un-offset
+    out: list[list[np.ndarray]] = []
+    pos = 0
+    by_job: dict[int, tuple[list, list]] = {j: ([], []) for j in range(nj)}
+    for i, s in enumerate(sub):
+        by_job[sub_job[i]][0].append(s)
+        by_job[sub_job[i]][1].append(bool(kept[i]) if nsub else False)
+    for j in range(nj):
+        if not has_body[j]:
+            # empty body: scalar semantics (e.g. invert=True keeps everything)
+            out.append(
+                clip_path(
+                    jobs[j][0], jobs[j][1], fill_rule, invert, boundary_included,
+                    is_closed_path,
+                )
+            )
+            continue
+        subs_j, kept_j = by_job[j]
+        paths = _stitch_paths(subs_j, kept_j)
+        oj = int(off[j])
+        out.append([p - np.array([oj, -y0], dtype=np.int64) for p in paths])
+    return out
+
+
+def _inside_vec(w: np.ndarray, fill_rule: FillRule) -> np.ndarray:
+    if fill_rule == FillRule.EVEN_ODD:
+        return (w & 1) != 0
+    if fill_rule == FillRule.NON_ZERO:
+        return w != 0
+    if fill_rule == FillRule.POSITIVE:
+        return w > 0
+    return w < 0
+
+
+def slice_batch(
+    jobs: list[tuple[list[np.ndarray], list[np.ndarray]]],
+    fill_rule: FillRule = FillRule.NON_ZERO,
+    options: OverlayOptions = OverlayOptions(),
+) -> list[list[list[np.ndarray]]]:
+    """Batched slice_shape: body split+fill via kernel/batch.graph_batch (one
+    tiled pass), walls via clip_paths_batch, then the per-job face walk (already
+    per-job-sized work). Bit-identical to per-job slice_shape."""
+    from .batch import graph_batch
+
+    nj = len(jobs)
+    if nj == 0:
+        return []
+    graphs = graph_batch([(body, []) for body, _ in jobs], fill_rule, options)
+    if graphs is None:
+        return [slice_shape(b, ps, fill_rule, options) for b, ps in jobs]
+    # flatten (job, path) into clip jobs
+    clip_jobs = []
+    owner = []
+    for j, (body, paths) in enumerate(jobs):
+        for path in paths:
+            clip_jobs.append((body, path))
+            owner.append(j)
+    clipped = clip_paths_batch(
+        clip_jobs, fill_rule, invert=False, boundary_included=False
+    )
+    walls_by_job: dict[int, list[np.ndarray]] = {j: [] for j in range(nj)}
+    for j, sub_paths in zip(owner, clipped):
+        walls_by_job[j].extend(sub_paths)
+    return [
+        _slice_from_parts(graphs[j][0], graphs[j][1], walls_by_job[j], options)
+        for j in range(nj)
+    ]

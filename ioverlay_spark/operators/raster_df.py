@@ -21,7 +21,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.exprgen import GRID_BITS
-from ..kernel.raster import rasterize, vectorize
+from ..kernel.raster import vectorize
 
 TILE_SCHEMA = StructType(
     [
@@ -68,18 +68,15 @@ def rasterize_rect_tiles(
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernel.raster import rasterize_rects
+
         rows = []
         for (tx, ty), grp in pdf.groupby(["tx", "ty"]):
             ox, oy = int(tx) * tile_side, int(ty) * tile_side
-            rings = []
-            for t in grp.itertuples():
-                rings.append(
-                    np.array(
-                        [[t.x1, t.y1], [t.x2, t.y1], [t.x2, t.y2], [t.x1, t.y2]],
-                        dtype=np.int64,
-                    )
-                )
-            mask = rasterize(rings, origin=(ox, oy), size_px=(size_px, size_px), px=px)
+            # vectorized batched rect rasterization (differential-tested equal to
+            # per-ring rasterize()) — no per-rect python loop
+            rects = grp[["x1", "y1", "x2", "y2"]].to_numpy(np.int64)
+            mask = rasterize_rects(rects, origin=(ox, oy), size_px=(size_px, size_px), px=px)
             rows.append(
                 (
                     int(tx),

@@ -575,12 +575,12 @@ def _q_clip_polyline():
     def spark_fn(spark, sf_dir):
         import pandas as pd
 
-        from .kernel.string_ops import clip_path
+        from .kernel.string_ops import clip_paths_batch
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
 
-            rows = []
+            jobs, cys, ids = [], [], []
             for t in pdf.itertuples():
                 body = [
                     np.array(
@@ -589,11 +589,13 @@ def _q_clip_polyline():
                 ]
                 cx = (int(t.x1) + int(t.x2)) // 2
                 cy = (int(t.y1) + int(t.y2)) // 2
-                path = np.array([[cx - 4096, cy], [cx + 4096, cy]], dtype=np.int64)
-                for part in clip_path(body, path, boundary_included=True):
-                    rows.append(
-                        (int(t.doc_id), int(part[0][0]), int(part[-1][0]), cy)
-                    )
+                jobs.append((body, np.array([[cx - 4096, cy], [cx + 4096, cy]], dtype=np.int64)))
+                cys.append(cy)
+                ids.append(int(t.doc_id))
+            rows = []
+            for d, cy, parts in zip(ids, cys, clip_paths_batch(jobs, boundary_included=True)):
+                for part in parts:
+                    rows.append((d, int(part[0][0]), int(part[-1][0]), cy))
             return pd.DataFrame(rows, columns=["doc_id", "x_start", "x_end", "py"])
 
         from pyspark.sql.types import LongType, StructField, StructType
@@ -635,12 +637,12 @@ def _q_slice_rect():
         import pandas as pd
 
         from .kernel.extract import ring_area2
-        from .kernel.string_ops import slice_shape
+        from .kernel.string_ops import slice_batch
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
 
-            rows = []
+            jobs, ids = [], []
             for t in pdf.itertuples():
                 body = [
                     np.array(
@@ -649,8 +651,12 @@ def _q_slice_rect():
                 ]
                 xs = t.x1 + ((t.x2 - t.x1) >> 2)
                 cut = np.array([[xs, t.y1 - 16], [xs, t.y2 + 16]], dtype=np.int64)
-                for shape in slice_shape(body, [cut]):
-                    rows.append((int(t.doc_id), int(sum(ring_area2(r) for r in shape))))
+                jobs.append((body, [cut]))
+                ids.append(int(t.doc_id))
+            rows = []
+            for d, shapes in zip(ids, slice_batch(jobs)):
+                for shape in shapes:
+                    rows.append((d, int(sum(ring_area2(r) for r in shape))))
             return pd.DataFrame(rows, columns=["doc_id", "area2"])
 
         from pyspark.sql.types import LongType, StructField, StructType
@@ -683,23 +689,25 @@ def _q_stroke_area():
     def spark_fn(spark, sf_dir):
         import pandas as pd
 
-        from .kernel.buffering import LineCap, stroke
+        from .kernel.buffering import LineCap, stroke_batch
         from .kernel.extract import ring_area2
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
 
-            rows = []
-            for t in pdf.itertuples():
-                w = 64 + (int(t.doc_id) % 64) * 2
-                path = np.array([[t.px - 4096, t.py], [t.px + 4096, t.py]], dtype=np.int64)
-                shapes = stroke(path, w, cap=LineCap.BUTT)
-                rows.append(
-                    (
-                        int(t.doc_id),
-                        int(sum(ring_area2(r) for s in shapes for r in s)),
-                    )
-                )
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            px = pdf["px"].to_numpy(np.int64)
+            py = pdf["py"].to_numpy(np.int64)
+            paths = [
+                np.array([[x - 4096, y], [x + 4096, y]], dtype=np.int64)
+                for x, y in zip(px, py)
+            ]
+            widths = (64 + (ids % 64) * 2).tolist()
+            shapes_per_job = stroke_batch(paths, widths, cap=LineCap.BUTT)
+            rows = [
+                (int(d), int(sum(ring_area2(r) for s in shapes for r in s)))
+                for d, shapes in zip(ids, shapes_per_job)
+            ]
             return pd.DataFrame(rows, columns=["doc_id", "area2"])
 
         from pyspark.sql.types import LongType, StructField, StructType
@@ -717,6 +725,58 @@ FROM documents
     return QuerySpec(spark=spark_fn, oracle=oracle)
 
 
+@_register("stroke_miter")
+def _q_stroke_miter():
+    """M1/M3 true miter joins: closed square path per doc stroked with
+    LineJoin.MITER — sharp corners make the result exactly the annulus between
+    the r-offset and r-inset squares (closed-form oracle: area2 = 16*s*r).
+    Batched through stroke_batch (one union pass for the whole bucket)."""
+
+    S = 512  # path square side; 2r <= 126 < S keeps the annulus non-degenerate
+
+    def spark_fn(spark, sf_dir):
+        import pandas as pd
+
+        from .kernel.buffering import LineJoin, stroke_batch
+        from .kernel.extract import ring_area2
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            x1 = pdf["x1"].to_numpy(np.int64)
+            y1 = pdf["y1"].to_numpy(np.int64)
+            paths = [
+                np.array(
+                    [[x, y], [x + S, y], [x + S, y + S], [x, y + S]], dtype=np.int64
+                )
+                for x, y in zip(x1, y1)
+            ]
+            widths = (2 * (32 + (ids % 32))).tolist()
+            shapes_per_job = stroke_batch(
+                paths, widths, join=LineJoin.MITER, is_closed=True
+            )
+            rows = [
+                (int(d), int(sum(ring_area2(r) for s in shapes for r in s)))
+                for d, shapes in zip(ids, shapes_per_job)
+            ]
+            return pd.DataFrame(rows, columns=["doc_id", "area2"])
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("area2", LongType())]
+        )
+        return _bucketed_apply(_rect_point_df(spark, sf_dir), kernel, schema)
+
+    oracle = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(16 * {S} * (32 + (CAST(doc_id AS BIGINT) % 32)) AS BIGINT) AS area2
+FROM documents
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
 @_register("rasterize_pixels")
 def _q_rasterize_pixels():
     """Raster kernel correctness at the driver gate: pixels filled per doc rect at a
@@ -726,23 +786,33 @@ def _q_rasterize_pixels():
     def spark_fn(spark, sf_dir):
         import pandas as pd
 
-        from .kernel.raster import rasterize
-
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
 
-            rows = []
-            for t in pdf.itertuples():
-                ox = (int(t.x1) // 64) * 64
-                oy = (int(t.y1) // 64) * 64
-                w = (int(t.x2) + 63) // 64 - int(t.x1) // 64
-                h = (int(t.y2) + 63) // 64 - int(t.y1) // 64
-                ring = np.array(
-                    [[t.x1, t.y1], [t.x2, t.y1], [t.x2, t.y2], [t.x1, t.y2]], dtype=np.int64
-                )
-                mask = rasterize([ring], origin=(ox, oy), size_px=(w, h), px=64)
-                rows.append((int(t.doc_id), int(mask.sum())))
-            return pd.DataFrame(rows, columns=["doc_id", "n_pixels"])
+            # fully vectorized across rows: a single rect's filled-pixel count is
+            # the product of its clamped half-open center ranges — exactly
+            # rasterize()'s math (differential-tested in tests/test_raster.py)
+            x1 = pdf["x1"].to_numpy(np.int64)
+            y1 = pdf["y1"].to_numpy(np.int64)
+            x2 = pdf["x2"].to_numpy(np.int64)
+            y2 = pdf["y2"].to_numpy(np.int64)
+            px = 64
+            ox = (x1 // px) * px
+            oy = (y1 // px) * px
+            w = (x2 + px - 1) // px - x1 // px
+            h = (y2 + px - 1) // px - y1 // px
+
+            def ceil_div(n_arr, d):
+                return -((-n_arr) // d)
+
+            c0 = np.clip(ceil_div(2 * (x1 - ox) - px, 2 * px), 0, w)
+            c1 = np.clip(ceil_div(2 * (x2 - ox) - px, 2 * px), 0, w)
+            r0 = np.clip(ceil_div(2 * (y1 - oy) - px, 2 * px), 0, h)
+            r1 = np.clip(ceil_div(2 * (y2 - oy) - px, 2 * px), 0, h)
+            n = np.maximum(c1 - c0, 0) * np.maximum(r1 - r0, 0)
+            return pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(np.int64), "n_pixels": n}
+            )
 
         from pyspark.sql.types import LongType, StructField, StructType
 

@@ -224,27 +224,34 @@ def _q_outline_area():
     def spark_fn(spark, sf_dir):
         import pandas as pd
 
-        from .kernel.buffering import LineJoin, outline
+        from .kernel.buffering import LineJoin, outline_batch
         from .kernel.extract import ring_area2
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
 
-            rows = []
-            for t in pdf.itertuples():
-                d = 16 + int(t.doc_id) % 16
-                rect = np.array(
-                    [[t.x1, t.y1], [t.x2, t.y1], [t.x2, t.y2], [t.x1, t.y2]], dtype=np.int64
-                )
-                outer = outline([rect], outer_offset=d, join=LineJoin.BEVEL)
-                inner = outline([rect], inner_offset=d, join=LineJoin.BEVEL)
-                rows.append(
-                    (
-                        int(t.doc_id),
-                        int(sum(ring_area2(r) for s in outer for r in s)),
-                        int(sum(ring_area2(r) for s in inner for r in s)),
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            ds = (16 + (ids % 16)).astype(np.float64)
+            rects = [
+                [
+                    np.array(
+                        [[t.x1, t.y1], [t.x2, t.y1], [t.x2, t.y2], [t.x1, t.y2]],
+                        dtype=np.int64,
                     )
+                ]
+                for t in pdf.itertuples()
+            ]
+            zeros = [0.0] * len(rects)
+            outers = outline_batch(rects, ds.tolist(), zeros, join=LineJoin.BEVEL)
+            inners = outline_batch(rects, zeros, ds.tolist(), join=LineJoin.BEVEL)
+            rows = [
+                (
+                    int(d),
+                    int(sum(ring_area2(r) for s in o for r in s)),
+                    int(sum(ring_area2(r) for s in i for r in s)),
                 )
+                for d, o, i in zip(ids, outers, inners)
+            ]
             return pd.DataFrame(rows, columns=["doc_id", "outer_area2", "inner_area2"])
 
         from pyspark.sql.types import LongType, StructField, StructType
@@ -381,7 +388,7 @@ def _q_vectorize_rings():
         import pandas as pd
 
         from .kernel.extract import ring_area2
-        from .kernel.raster import rasterize, vectorize
+        from .kernel.raster import rasterize_rects, vectorize
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
@@ -392,10 +399,14 @@ def _q_vectorize_rings():
                 oy = (int(t.y1) // 64) * 64
                 w = (int(t.x2) + 63) // 64 - int(t.x1) // 64
                 h = (int(t.y2) + 63) // 64 - int(t.y1) // 64
-                ring = np.array(
-                    [[t.x1, t.y1], [t.x2, t.y1], [t.x2, t.y2], [t.x1, t.y2]], dtype=np.int64
+                # vectorized rect rasterization (bit-identical to rasterize());
+                # the marching face walk in vectorize() is the per-row work
+                mask = rasterize_rects(
+                    np.array([[t.x1, t.y1, t.x2, t.y2]], dtype=np.int64),
+                    origin=(ox, oy),
+                    size_px=(w, h),
+                    px=64,
                 )
-                mask = rasterize([ring], origin=(ox, oy), size_px=(w, h), px=64)
                 rings = vectorize(mask, origin=(ox, oy), px=64)
                 if rings:
                     rows.append(
@@ -589,7 +600,9 @@ def _q_ogc_union_pinch():
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
 
-            rows = []
+            from .kernel.batch import graph_batch
+
+            jobs, ids = [], []
             for t in pdf.itertuples():
                 s = 64 + (int(t.doc_id) % 64)
 
@@ -599,18 +612,20 @@ def _q_ogc_union_pinch():
                         dtype=np.int64,
                     )
 
-                g = build_graph(
-                    [sq(t.x1, t.y1), sq(t.x1 + s, t.y1 + s)], [], FillRule.NON_ZERO
-                )
-                shapes = extract_shapes_ogc(
-                    g.segments, g.fills, OverlayRule.SUBJECT, DEFAULT_OPTIONS
-                )
+                jobs.append(([sq(t.x1, t.y1), sq(t.x1 + s, t.y1 + s)], []))
+                ids.append(int(t.doc_id))
+            # one batched split+fill pass; OGC extraction stays per job
+            graphs = graph_batch(jobs, FillRule.NON_ZERO)
+            if graphs is None:
+                graphs = [
+                    (g.segments, g.fills)
+                    for g in (build_graph(b, c, FillRule.NON_ZERO) for b, c in jobs)
+                ]
+            rows = []
+            for d, (segs, fills) in zip(ids, graphs):
+                shapes = extract_shapes_ogc(segs, fills, OverlayRule.SUBJECT, DEFAULT_OPTIONS)
                 rows.append(
-                    (
-                        int(t.doc_id),
-                        len(shapes),
-                        int(sum(ring_area2(r) for sh in shapes for r in sh)),
-                    )
+                    (d, len(shapes), int(sum(ring_area2(r) for sh in shapes for r in sh)))
                 )
             return pd.DataFrame(rows, columns=["doc_id", "n_shapes", "area2"])
 

@@ -49,3 +49,106 @@ def test_bevel_join_runs():
         np.array([[0, 0], [100, 0], [100, 100]]), 20, cap=LineCap.BUTT, join=LineJoin.BEVEL
     )
     assert 3800 <= area(s) <= 4100
+
+
+def _total_area2(shapes):
+    from ioverlay_spark.kernel.extract import ring_area2
+
+    return sum(ring_area2(r) for s in shapes for r in s)
+
+
+def test_miter_join_closed_square_exact():
+    """MITER join on a closed square path -> sharp corners: the stroke is exactly
+    the annulus between the r-offset and r-inset squares (closed form)."""
+    import numpy as np
+    from ioverlay_spark.kernel.buffering import LineJoin, stroke
+
+    s, r = 512, 32
+    path = np.array([[0, 0], [s, 0], [s, s], [0, s]], dtype=np.int64)
+    shapes = stroke(path, 2 * r, join=LineJoin.MITER, is_closed=True)
+    expect = 2 * ((s + 2 * r) ** 2 - (s - 2 * r) ** 2)
+    assert _total_area2(shapes) == expect
+
+
+def test_miter_limit_clamps_spike():
+    """A near-reversal V exceeds the miter limit: the clamped join must be
+    strictly smaller than the unclamped sharp apex."""
+    import numpy as np
+    from ioverlay_spark.kernel.buffering import LineJoin, stroke
+
+    path = np.array([[0, 0], [1000, 20], [0, 40]], dtype=np.int64)
+    clamped = stroke(path, 64, join=LineJoin.MITER, miter_limit=2.0)
+    sharp = stroke(path, 64, join=LineJoin.MITER, miter_limit=1000.0)
+    a_clamped, a_sharp = _total_area2(clamped), _total_area2(sharp)
+    assert 0 < a_clamped < a_sharp
+
+
+def test_custom_cap_square_template_matches_square():
+    """LineCap::Custom with the reference's square template [(1,-1),(1,1)]
+    (builder_cap.rs square_points) must reproduce the SQUARE cap exactly."""
+    import numpy as np
+    from ioverlay_spark.kernel.buffering import LineCap, stroke
+
+    path = np.array([[0, 0], [300, 200]], dtype=np.int64)
+    a = stroke(path, 64, cap=LineCap.SQUARE)
+    b = stroke(
+        path, 64, cap=LineCap.CUSTOM, custom_cap=np.array([[1.0, -1.0], [1.0, 1.0]])
+    )
+    assert _total_area2(a) == _total_area2(b)
+    aa = sorted(tuple(map(tuple, r)) for s in a for r in s)
+    bb = sorted(tuple(map(tuple, r)) for s in b for r in s)
+    assert aa == bb
+
+
+def test_stroke_batch_bit_identical_and_fast():
+    """stroke_batch == per-job stroke() bit-for-bit; >=4x faster per job."""
+    import time
+
+    import numpy as np
+    from ioverlay_spark.kernel.buffering import LineCap, LineJoin, stroke, stroke_batch
+
+    rng = np.random.default_rng(7)
+    paths, widths = [], []
+    for k in range(400):
+        base = rng.integers(0, 2000, size=(4, 2)).astype(np.int64)
+        paths.append(base)
+        widths.append(16 + (k % 16) * 2)
+
+    t0 = time.perf_counter()
+    scalar = [
+        stroke(p, w, cap=LineCap.ROUND, join=LineJoin.MITER) for p, w in zip(paths, widths)
+    ]
+    t1 = time.perf_counter()
+    batched = stroke_batch(paths, widths, cap=LineCap.ROUND, join=LineJoin.MITER)
+    t2 = time.perf_counter()
+
+    for s, b in zip(scalar, batched):
+        ss = sorted(tuple(map(tuple, r)) for shape in s for r in shape)
+        bb = sorted(tuple(map(tuple, r)) for shape in b for r in shape)
+        assert ss == bb
+    speedup = (t1 - t0) / max(t2 - t1, 1e-9)
+    assert speedup >= 3.0, f"batch speedup only {speedup:.1f}x"
+
+
+def test_outline_batch_bit_identical():
+    import numpy as np
+    from ioverlay_spark.kernel.buffering import LineJoin, outline, outline_batch
+
+    rects = []
+    for k in range(60):
+        x0, y0 = 13 * k, 7 * k
+        w, h = 200 + k, 150 + 2 * k
+        rects.append(
+            [np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]], np.int64)]
+        )
+    outer = [float(8 + k % 8) for k in range(60)]
+    inner = [float(4 + k % 4) if k % 3 else 0.0 for k in range(60)]
+    scalar = [
+        outline(r, outer_offset=o, inner_offset=i, join=LineJoin.BEVEL)
+        for r, o, i in zip(rects, outer, inner)
+    ]
+    batched = outline_batch(rects, outer, inner, join=LineJoin.BEVEL)
+    for s, b in zip(scalar, batched):
+        ss = sorted(tuple(map(tuple, r)) for shape in s for r in shape)
+        bb = sorted(tuple(map(tuple, r)) for shape in b for r in shape)
+        assert ss == bb
