@@ -305,6 +305,24 @@ def _batch_tiled_segments(jobs, options):
     return Segments(ax, ay, bx, by, subj, clip), off, y0, W
 
 
+def _graph_batch_parts(jobs, fill_rule, options):
+    """One tiled split+fill pass over a whole batch. Returns
+    (segs, all_fills, starts, off, y0) in TILED coordinates, _EMPTY, or None."""
+    t = _batch_tiled_segments(jobs, options)
+    if t is None or t == _EMPTY:
+        return t
+    raw, off, y0, W = t
+    segs = _split_batch(raw)
+    n = len(segs)
+    if n == 0:
+        return _EMPTY
+    nj = len(jobs)
+    starts = np.searchsorted(segs.ax, np.arange(nj + 1, dtype=np.int64) * W)
+    seg_tile = np.searchsorted(starts, np.arange(n, dtype=np.int64), side="right") - 1
+    all_fills = _fills_batch(segs, fill_rule, starts[seg_tile])
+    return segs, all_fills, starts, off, y0
+
+
 def graph_batch(
     jobs: list[tuple[list[np.ndarray], list[np.ndarray]]],
     fill_rule: FillRule = FillRule.EVEN_ODD,
@@ -314,20 +332,13 @@ def graph_batch(
     one tiled _split_batch + _fills_batch pass. Returns None when the batch needs
     the scalar path (caller falls back to per-job build_graph)."""
     nj = len(jobs)
-    t = _batch_tiled_segments(jobs, options)
+    t = _graph_batch_parts(jobs, fill_rule, options)
     if t is None:
         return None
     empty = Segments(*[np.empty(0, dtype=np.int64)] * 6)
     if t == _EMPTY:
         return [(empty, np.empty(0, dtype=np.uint8)) for _ in range(nj)]
-    raw, off, y0, W = t
-    segs = _split_batch(raw)
-    n = len(segs)
-    if n == 0:
-        return [(empty, np.empty(0, dtype=np.uint8)) for _ in range(nj)]
-    starts = np.searchsorted(segs.ax, np.arange(nj + 1, dtype=np.int64) * W)
-    seg_tile = np.searchsorted(starts, np.arange(n, dtype=np.int64), side="right") - 1
-    all_fills = _fills_batch(segs, fill_rule, starts[seg_tile])
+    segs, all_fills, starts, off, y0 = t
     out = []
     for slot in range(nj):
         lo, hi = int(starts[slot]), int(starts[slot + 1])
@@ -363,20 +374,34 @@ def overlay_batch(
         return []
     if nj == 1:
         return _scalar_batch(jobs, rules, fill_rule, options)
-    graphs = graph_batch(jobs, fill_rule, options)
-    if graphs is None:
+    t = _graph_batch_parts(jobs, fill_rule, options)
+    if t is None:
         return _scalar_batch(jobs, rules, fill_rule, options)
+    results: list[dict[OverlayRule, Shapes]] = [
+        {rule: [] for rule in rules} for _ in range(nj)
+    ]
+    if t == _EMPTY:
+        return results
+    segs, all_fills, starts, off, y0 = t
+    # boundary masks per rule, computed ONCE over the whole batch and sliced per tile
     from .extract import boundary_mask
 
-    results: list[dict[OverlayRule, Shapes]] = []
-    for sub, fills in graphs:
-        res = {}
+    rule_masks = {rule: boundary_mask(all_fills, rule) for rule in rules}
+    for slot in range(nj):
+        lo, hi = int(starts[slot]), int(starts[slot + 1])
+        if lo == hi:
+            continue
+        sub = Segments(
+            segs.ax[lo:hi] - int(off[slot]),
+            segs.ay[lo:hi] + y0,
+            segs.bx[lo:hi] - int(off[slot]),
+            segs.by[lo:hi] + y0,
+            segs.subj[lo:hi],
+            segs.clip[lo:hi],
+        )
+        fills = all_fills[lo:hi]
         for rule in rules:
-            if len(sub) == 0:
-                res[rule] = []
-            else:
-                res[rule] = extract_shapes(
-                    sub, fills, rule, options, boundary=boundary_mask(fills, rule)
-                )
-        results.append(res)
+            results[slot][rule] = extract_shapes(
+                sub, fills, rule, options, boundary=rule_masks[rule][lo:hi]
+            )
     return results

@@ -93,24 +93,49 @@ class _LinkGraph:
         self.a = pts_a  # list[(x, y)]
         self.b = pts_b
         self.fill = fills
-        self.m = len(pts_a)
-        node_ids: dict[tuple[int, int], int] = {}
-        incid: list[list[int]] = []
-        self.a_node = np.empty(self.m, dtype=np.int64)
-        self.b_node = np.empty(self.m, dtype=np.int64)
-        for e in range(self.m):
-            for end, arr in ((self.a[e], self.a_node), (self.b[e], self.b_node)):
-                nid = node_ids.get(end)
-                if nid is None:
-                    nid = len(node_ids)
-                    node_ids[end] = nid
-                    incid.append([])
-                arr[e] = nid
-                incid[nid].append(e)
-        self.incid = incid
-        self.node_pt = [None] * len(node_ids)
-        for pt, nid in node_ids.items():
-            self.node_pt[nid] = pt
+        m = self.m = len(pts_a)
+        if m < 256:
+            # tiny graph (the batched-kernel common case): dict insertion beats
+            # the np.unique/argsort constant costs by a wide margin
+            node_ids: dict[tuple[int, int], int] = {}
+            incid: list[list[int]] = []
+            self.a_node = np.empty(m, dtype=np.int64)
+            self.b_node = np.empty(m, dtype=np.int64)
+            for e in range(m):
+                for end, arr in ((pts_a[e], self.a_node), (pts_b[e], self.b_node)):
+                    nid = node_ids.get(end)
+                    if nid is None:
+                        nid = len(node_ids)
+                        node_ids[end] = nid
+                        incid.append([])
+                    arr[e] = nid
+                    incid[nid].append(e)
+            self.incid = incid
+            self.node_pt = [None] * len(node_ids)
+            for pt, nid in node_ids.items():
+                self.node_pt[nid] = pt
+            return
+        # large graph: vectorized node building — first-occurrence-ordered unique
+        # endpoint ids (identical to the dict loop: endpoints scanned in
+        # (a0, b0, a1, b1, ...) order)
+        ends = np.empty((2 * m, 2), dtype=np.int64)
+        ends[0::2] = np.asarray(pts_a, dtype=np.int64).reshape(m, 2)
+        ends[1::2] = np.asarray(pts_b, dtype=np.int64).reshape(m, 2)
+        v = ends.view([("x", np.int64), ("y", np.int64)]).ravel()
+        uniq, first, inv = np.unique(v, return_index=True, return_inverse=True)
+        order = np.argsort(first, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        node = rank[inv]
+        self.a_node = node[0::2]
+        self.b_node = node[1::2]
+        n_nodes = len(uniq)
+        link_of = np.repeat(np.arange(m, dtype=np.int64), 2)
+        grp = np.argsort(node, kind="stable")
+        counts = np.bincount(node, minlength=n_nodes)
+        self.incid = [arr.tolist() for arr in np.split(link_of[grp], np.cumsum(counts)[:-1])]
+        pts_first = ends[first[order]]
+        self.node_pt = list(map(tuple, pts_first.tolist()))
 
     def other(self, link: int, node: int) -> int:
         return int(self.b_node[link]) if self.a_node[link] == node else int(self.a_node[link])
@@ -172,9 +197,9 @@ def walk_contours(
     idx = np.flatnonzero(mask)
     if len(idx) == 0:
         return []
-    pts_a = [(int(segs.ax[i]), int(segs.ay[i])) for i in idx]
-    pts_b = [(int(segs.bx[i]), int(segs.by[i])) for i in idx]
-    bfills = [int(fills[i]) for i in idx]
+    pts_a = list(zip(segs.ax[idx].tolist(), segs.ay[idx].tolist()))
+    pts_b = list(zip(segs.bx[idx].tolist(), segs.by[idx].tolist()))
+    bfills = fills[idx].tolist()
     g = _LinkGraph(pts_a, pts_b, bfills)
 
     visited = np.zeros(g.m, dtype=bool)
