@@ -75,9 +75,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Emitted LAST: brute-force baselines whose correctness is already proven by
 # scale-path twins that pass the SAME oracles (knn -> knn_grid/knn_ring,
 # embed_knn/embed_neardup -> ann_ivf/embed_ann_lsh/dedup_e2e, lang_stats ->
-# lang_id). If the driver caps the per-round query count, these are the rows
-# whose loss costs the least evidence.
-_TAIL = ["knn", "embed_knn", "embed_neardup", "lang_stats"]
+# lang_id, ngram_jaccard's adjacent-pair demo -> dedup_e2e). If the driver caps
+# the per-round query count, these are the rows whose loss costs the least
+# evidence.
+_TAIL = ["knn", "embed_knn", "embed_neardup", "lang_stats", "ngram_jaccard"]
 
 
 def _ordered():

@@ -766,6 +766,100 @@ def _q_knn_ring():
     return QuerySpec(spark=spark_fn, oracle=REGISTRY["knn"].oracle)
 
 
+@_register("float_clip")
+def _q_float_clip():
+    """Float string-API surface (reference FloatClip / float/clip.rs:31-47 over
+    string_overlay.rs): float rect body + float horizontal polyline on a 1/64
+    grid -> fixed-scale adapter quantize -> batched integer clip kernel ->
+    dequantize back to floats. Exact power-of-two roundtrip, so the oracle is
+    the interval-clip closed form expressed in float units."""
+
+    def spark_fn(spark, sf_dir):
+        import pandas as pd
+
+        from .kernel.string_ops import clip_paths_batch
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            # float inputs (exact 1/64 multiples), quantized with the adapter's
+            # half-away-from-zero rounding at scale 64 — reproduces the ints
+            scale = 64.0
+            jobs, metas = [], []
+            for t in pdf.itertuples():
+                fx1, fy1 = t.x1 / scale, t.y1 / scale
+                fx2, fy2 = t.x2 / scale, t.y2 / scale
+                fcx = (fx1 + fx2) / 2.0
+                fcy = (fy1 + fy2) / 2.0
+
+                def q(v):
+                    return int(np.floor(abs(v) * scale + 0.5)) * (1 if v >= 0 else -1)
+
+                body = [
+                    np.array(
+                        [
+                            [q(fx1), q(fy1)],
+                            [q(fx2), q(fy1)],
+                            [q(fx2), q(fy2)],
+                            [q(fx1), q(fy2)],
+                        ],
+                        dtype=np.int64,
+                    )
+                ]
+                path = np.array(
+                    [[q(fcx - 64.0), q(fcy)], [q(fcx + 64.0), q(fcy)]], dtype=np.int64
+                )
+                jobs.append((body, path))
+                metas.append(int(t.doc_id))
+            rows = []
+            for d, parts in zip(metas, clip_paths_batch(jobs, boundary_included=True)):
+                for part in parts:
+                    rows.append(
+                        (
+                            d,
+                            float(part[0][0]) / scale,
+                            float(part[-1][0]) / scale,
+                            float(part[0][1]) / scale,
+                        )
+                    )
+            return pd.DataFrame(rows, columns=["doc_id", "fx_start", "fx_end", "fy"])
+
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("fx_start", DoubleType()),
+                StructField("fx_end", DoubleType()),
+                StructField("fy", DoubleType()),
+            ]
+        )
+        return _bucketed_apply(_rect_point_df(spark, sf_dir), kernel, schema)
+
+    r = rect_exprs("doc_id", "duckdb")
+    oracle = f"""
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {r["x1"]} AS x1, {r["y1"]} AS y1, {r["x2"]} AS x2, {r["y2"]} AS y2
+  FROM documents
+), c AS (
+  -- the float center (x1+x2)/128 is a half-integer when x1+x2 is odd; the
+  -- adapter rounds half AWAY from zero, i.e. (x1+x2+1)//2 for positive coords
+  SELECT doc_id, x1, y1, x2, y2,
+         CAST((x1 + x2 + 1) // 2 AS BIGINT) AS cx,
+         CAST((y1 + y2 + 1) // 2 AS BIGINT) AS cy
+  FROM g
+)
+SELECT doc_id,
+       GREATEST(cx - 4096, x1) / 64.0 AS fx_start,
+       LEAST(cx + 4096, x2) / 64.0 AS fx_end,
+       cy / 64.0 AS fy
+FROM c
+WHERE cy >= y1 AND cy <= y2 AND GREATEST(cx - 4096, x1) < LEAST(cx + 4096, x2)
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
 @_register("float_overlay")
 def _q_float_overlay():
     """Float-shell flagship (reference FloatOverlay lifecycle, SURVEY.md §3.1):
