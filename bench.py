@@ -242,6 +242,40 @@ def run_suite(cpus: int, overlay_only: bool = False) -> dict:
     knn_df = knn_broadcast_grid(pts, ctr, k=3)
     timed("knn", lambda: knn_df.count())
 
+    # --- distributed board: ONE huge overlay through the distributed entry point
+    # (reference checkerboard XOR scenario, n=48 -> 4,513 squares; the pipeline's
+    # size dispatch picks the plan — VERDICT round-1 item 2's bench entry) ---
+    from ioverlay_spark.operators.distributed import (
+        contours_to_segments_df,
+        distributed_overlay,
+    )
+    from ioverlay_spark.options import FillRule as _FR
+    from ioverlay_spark.options import OverlayRule as _OR
+
+    def _board_rows(n, cell=16):
+        rows, k = [], 0
+        for role, m, off in (("subject", n, 0), ("clip", n - 1, cell)):
+            for i in range(m):
+                for j in range(m):
+                    x, y = i * cell * 2 + off, j * cell * 2 + off
+                    rows.append(
+                        (role, k,
+                         [x, x + 2 * cell, x + 2 * cell, x],
+                         [y, y, y + 2 * cell, y + 2 * cell])
+                    )
+                    k += 1
+        return rows
+
+    board = spark.createDataFrame(
+        _board_rows(48), ["role", "cid", "pts_x", "pts_y"]
+    ).localCheckpoint(eager=True)
+    timed(
+        "distributed_board",
+        lambda: distributed_overlay(
+            contours_to_segments_df(spark, board), _OR.XOR, _FR.EVEN_ODD
+        ).count(),
+    )
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     return {
@@ -254,6 +288,7 @@ def run_suite(cpus: int, overlay_only: bool = False) -> dict:
             "pip_input_rows_per_sec": round((n_li + n_orders) / timings["pip"], 1),
             "tile_assignments_per_sec": round(n_li / timings["tiles"], 1),
             "knn_points_per_sec": round(n_li / timings["knn"], 1),
+            "distributed_board_squares_per_sec": round(4513 / timings["distributed_board"], 1),
         },
     }
 

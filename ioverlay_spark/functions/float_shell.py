@@ -1,0 +1,138 @@
+"""Float sugar over the integer string/mesh kernels (reference float API breadth:
+iOverlay/src/float/{single.rs, string_overlay.rs, clip.rs, slice.rs} and the
+float Stroke/Outline traits).
+
+Same architecture as the reference: floats snap onto an integer grid via an
+adapter (fitted from the union bounding box, or user-fixed scale), the robust
+integer kernel does the work, outputs map back int -> float. The adapter rounds
+half away from zero (Rust f64::round), matching functions/adapter.FloatAdapter's
+Column expressions — these numpy helpers are the kernel-side twins used inside
+pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..options import FillRule, OverlayOptions
+from .adapter import TARGET_BITS, _ceil_log2
+
+
+class NumpyFloatAdapter:
+    """Kernel-side adapter: offset + power-of-two scale, half-away-from-zero."""
+
+    def __init__(self, offset_x: float, offset_y: float, scale: float):
+        self.offset_x = offset_x
+        self.offset_y = offset_y
+        self.scale = scale
+
+    @classmethod
+    def fixed_scale(cls, grid_size: float) -> "NumpyFloatAdapter":
+        return cls(0.0, 0.0, 1.0 / grid_size)
+
+    @classmethod
+    def fit(cls, arrays: list[np.ndarray]) -> "NumpyFloatAdapter":
+        """Union-bbox fit (FloatPointAdapter::with_iter): power-of-two scale sized
+        so the integer extent is ~2^29."""
+        pts = [np.asarray(a, dtype=np.float64).reshape(-1, 2) for a in arrays if len(a)]
+        if not pts:
+            return cls(0.0, 0.0, 1.0)
+        allp = np.concatenate(pts, axis=0)
+        min_x, min_y = float(allp[:, 0].min()), float(allp[:, 1].min())
+        extent = max(
+            float(allp[:, 0].max()) - min_x, float(allp[:, 1].max()) - min_y, 1e-12
+        )
+        k = TARGET_BITS - _ceil_log2(extent)
+        return cls(min_x, min_y, float(math.ldexp(1.0, k)))
+
+    def quantize(self, arr: np.ndarray) -> np.ndarray:
+        p = np.asarray(arr, dtype=np.float64).reshape(-1, 2)
+        v = (p - np.array([self.offset_x, self.offset_y])) * self.scale
+        q = np.where(v >= 0, np.floor(v + 0.5), -np.floor(-v + 0.5))
+        return q.astype(np.int64)
+
+    def dequantize(self, arr: np.ndarray) -> np.ndarray:
+        p = np.asarray(arr, dtype=np.float64).reshape(-1, 2)
+        return p / self.scale + np.array([self.offset_x, self.offset_y])
+
+
+def float_clip_path(
+    body: list[np.ndarray],
+    path: np.ndarray,
+    fill_rule: FillRule = FillRule.NON_ZERO,
+    invert: bool = False,
+    boundary_included: bool = True,
+    is_closed_path: bool = False,
+    adapter: NumpyFloatAdapter | None = None,
+) -> list[np.ndarray]:
+    """Reference FloatClip::clip_line (iOverlay/src/float/clip.rs:31-47): float
+    polyline clipped by a float polygon. Returns float sub-paths."""
+    from ..kernel.string_ops import clip_path
+
+    a = adapter or NumpyFloatAdapter.fit(list(body) + [path])
+    parts = clip_path(
+        [a.quantize(r) for r in body],
+        a.quantize(path),
+        fill_rule,
+        invert,
+        boundary_included,
+        is_closed_path,
+    )
+    return [a.dequantize(p) for p in parts]
+
+
+def float_slice_shape(
+    body: list[np.ndarray],
+    paths: list[np.ndarray],
+    fill_rule: FillRule = FillRule.NON_ZERO,
+    options: OverlayOptions = OverlayOptions(),
+    adapter: NumpyFloatAdapter | None = None,
+) -> list[list[np.ndarray]]:
+    """Reference FloatSlice::slice_by_paths (iOverlay/src/float/slice.rs over
+    string/slice.rs): slice a float polygon by float polylines."""
+    from ..kernel.string_ops import slice_shape
+
+    a = adapter or NumpyFloatAdapter.fit(list(body) + list(paths))
+    shapes = slice_shape(
+        [a.quantize(r) for r in body],
+        [a.quantize(p) for p in paths],
+        fill_rule,
+        options,
+    )
+    return [[a.dequantize(r) for r in shape] for shape in shapes]
+
+
+def float_stroke(
+    path: np.ndarray,
+    width: float,
+    cap: str = "butt",
+    join: str = "round",
+    is_closed: bool = False,
+    arc_segments: int = 16,
+    miter_limit: float = 4.0,
+    custom_cap: np.ndarray | None = None,
+    adapter: NumpyFloatAdapter | None = None,
+) -> list[list[np.ndarray]]:
+    """Float stroke sugar (reference Stroke trait over the float shell): the
+    path is quantized, the stroke runs on the integer grid with the width scaled
+    accordingly, shapes map back to floats."""
+    from ..kernel.buffering import stroke
+
+    pts = np.asarray(path, dtype=np.float64).reshape(-1, 2)
+    pad = width  # the stroke extends ~width/2 beyond the path bbox
+    a = adapter or NumpyFloatAdapter.fit(
+        [pts + (pad, pad), pts - (pad, pad)]
+    )
+    shapes = stroke(
+        a.quantize(pts),
+        width * a.scale,
+        cap=cap,
+        join=join,
+        is_closed=is_closed,
+        arc_segments=arc_segments,
+        miter_limit=miter_limit,
+        custom_cap=custom_cap,
+    )
+    return [[a.dequantize(r) for r in shape] for shape in shapes]
