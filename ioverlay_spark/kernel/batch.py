@@ -72,19 +72,44 @@ def _candidates_vec(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
     return i_rep[m], j[m]
 
 
-def _interacting(segs: Segments, i: np.ndarray, j: np.ndarray) -> np.ndarray:
-    """Vectorized orientation-sign prefilter: True exactly when cross_pair can emit
-    marks — (all four orients zero) OR (at most one zero AND o1!=o2 AND o3!=o4).
-    Mirrors the early-outs of CrossSolver (iOverlay/src/split/cross_solver.rs:76-130)."""
-    ax, ay, bx, by = segs.ax, segs.ay, segs.bx, segs.by
-    d1x, d1y = bx[i] - ax[i], by[i] - ay[i]
-    d2x, d2y = bx[j] - ax[j], by[j] - ay[j]
-    o1 = np.sign(d1x * (ay[j] - ay[i]) - d1y * (ax[j] - ax[i]))
-    o2 = np.sign(d1x * (by[j] - ay[i]) - d1y * (bx[j] - ax[i]))
-    o3 = np.sign(d2x * (ay[i] - ay[j]) - d2y * (ax[i] - ax[j]))
-    o4 = np.sign(d2x * (by[i] - ay[j]) - d2y * (bx[i] - ax[j]))
+def interacting_mask(ax, ay, bx, by, cx, cy, dx_, dy_) -> np.ndarray:
+    """Vectorized orientation-sign prefilter over PAIRED endpoint arrays
+    (first segment (ax,ay)-(bx,by), second (cx,cy)-(dx_,dy_); both a<b
+    normalized): True exactly when cross_pair can emit marks — mirrors the
+    early-outs of CrossSolver (iOverlay/src/split/cross_solver.rs:76-130).
+
+    The fully-collinear case (all four orientations zero) additionally requires
+    the spans to overlap STRICTLY (lexicographically) — same-line chains that
+    merely share an endpoint produce no marks, and flagging them turns
+    collinear stacks (e.g. split strip edges) into millions of no-op exact-solver
+    calls."""
+    d1x, d1y = bx - ax, by - ay
+    d2x, d2y = dx_ - cx, dy_ - cy
+    o1 = np.sign(d1x * (cy - ay) - d1y * (cx - ax))
+    o2 = np.sign(d1x * (dy_ - ay) - d1y * (dx_ - ax))
+    o3 = np.sign(d2x * (ay - cy) - d2y * (ax - cx))
+    o4 = np.sign(d2x * (by - cy) - d2y * (bx - cx))
     s = (o1 == 0).astype(np.int8) + (o2 == 0) + (o3 == 0) + (o4 == 0)
-    return (s == 4) | ((s <= 1) & (o1 != o2) & (o3 != o4))
+
+    def lex_lt(px, py, qx, qy):
+        return (px < qx) | ((px == qx) & (py < qy))
+
+    # strict lexicographic overlap of collinear spans: max(a, c) < min(b, d)
+    a_ge_c = ~lex_lt(ax, ay, cx, cy)
+    mx = np.where(a_ge_c, ax, cx)
+    my = np.where(a_ge_c, ay, cy)
+    b_le_d = ~lex_lt(dx_, dy_, bx, by)
+    nx = np.where(b_le_d, bx, dx_)
+    ny = np.where(b_le_d, by, dy_)
+    collinear_overlap = lex_lt(mx, my, nx, ny)
+    return ((s == 4) & collinear_overlap) | ((s <= 1) & (o1 != o2) & (o3 != o4))
+
+
+def _interacting(segs: Segments, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    ax, ay, bx, by = segs.ax, segs.ay, segs.bx, segs.by
+    return interacting_mask(
+        ax[i], ay[i], bx[i], by[i], ax[j], ay[j], bx[j], by[j]
+    )
 
 
 def _split_batch(segs: Segments, max_rounds: int = 64) -> Segments:

@@ -515,17 +515,14 @@ def clip_paths_batch(
                 & (symax[t] >= eymin[k_rep])
             )
             k_rep, t = k_rep[m], t[m]
-            # orientation-sign prefilter (kernel/batch._interacting, cross-array form)
-            d1x = ebx[k_rep] - eax[k_rep]
-            d1y = eby[k_rep] - eay[k_rep]
-            d2x = segs.bx[t] - segs.ax[t]
-            d2y = segs.by[t] - segs.ay[t]
-            o1 = np.sign(d1x * (segs.ay[t] - eay[k_rep]) - d1y * (segs.ax[t] - eax[k_rep]))
-            o2 = np.sign(d1x * (segs.by[t] - eay[k_rep]) - d1y * (segs.bx[t] - eax[k_rep]))
-            o3 = np.sign(d2x * (eay[k_rep] - segs.ay[t]) - d2y * (eax[k_rep] - segs.ax[t]))
-            o4 = np.sign(d2x * (eby[k_rep] - segs.ay[t]) - d2y * (ebx[k_rep] - segs.ax[t]))
-            s = (o1 == 0).astype(np.int8) + (o2 == 0) + (o3 == 0) + (o4 == 0)
-            inter = (s == 4) | ((s <= 1) & (o1 != o2) & (o3 != o4))
+            # orientation-sign prefilter (kernel/batch.interacting_mask, incl. the
+            # collinear strict-overlap refinement)
+            from .batch import interacting_mask
+
+            inter = interacting_mask(
+                eax[k_rep], eay[k_rep], ebx[k_rep], eby[k_rep],
+                segs.ax[t], segs.ay[t], segs.bx[t], segs.by[t],
+            )
             k_rep, t = k_rep[inter], t[inter]
             for k, ti in zip(k_rep.tolist(), t.tolist()):
                 edge = (int(eax[k]), int(eay[k]), int(ebx[k]), int(eby[k]))

@@ -82,32 +82,44 @@ def _cell_cover_expr(level_col_free: int, grid_min: int, cell_size: int):
 
 
 def _find_marks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-cell exact pairwise crossing detection (A6/A7): numpy bbox prefilter +
-    exact integer cross solver. Emits split marks keyed by segment coordinates."""
-    ax = pdf["ax"].to_numpy()
-    ay = pdf["ay"].to_numpy()
-    bx = pdf["bx"].to_numpy()
-    by = pdf["by"].to_numpy()
+    """Per-cell exact pairwise crossing detection (A6/A7): vectorized candidate
+    window + orientation-sign prefilter (kernel/batch.interacting_mask, incl. the
+    collinear-overlap refinement that keeps same-line chains from flooding the
+    exact solver); the exact integer cross solver runs only on truly interacting
+    pairs. Emits split marks keyed by segment coordinates."""
+    from ..kernel.batch import interacting_mask
+
+    ax = pdf["ax"].to_numpy(np.int64)
+    ay = pdf["ay"].to_numpy(np.int64)
+    bx = pdf["bx"].to_numpy(np.int64)
+    by = pdf["by"].to_numpy(np.int64)
     n = len(ax)
     rows = []
     if n >= 2:
-        order = np.lexsort((ay, ax))
+        order = np.lexsort((by, bx, ay, ax))
         ax, ay, bx, by = ax[order], ay[order], bx[order], by[order]
         ymin = np.minimum(ay, by)
         ymax = np.maximum(ay, by)
         his = np.searchsorted(ax, bx, side="right")
-        for i in range(n - 1):
-            hi = his[i]
-            if hi <= i + 1:
-                continue
-            js = np.arange(i + 1, hi)
-            m = (ymin[js] <= ymax[i]) & (ymax[js] >= ymin[i])
-            js = js[m]
-            ti = (int(ax[i]), int(ay[i]), int(bx[i]), int(by[i]))
-            for j in js:
-                tj = (int(ax[j]), int(ay[j]), int(bx[j]), int(by[j]))
-                if ti == tj:
-                    continue  # same segment exploded into the same cell twice
+        i0 = np.arange(n, dtype=np.int64)
+        counts = np.maximum(his - i0 - 1, 0)
+        total = int(counts.sum())
+        if total:
+            i_rep = np.repeat(i0, counts)
+            cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+            j = np.arange(total, dtype=np.int64) - cum[i_rep] + i_rep + 1
+            m = (ymin[j] <= ymax[i_rep]) & (ymax[j] >= ymin[i_rep])
+            i_rep, j = i_rep[m], j[m]
+            # drop duplicate rows of the SAME segment (exploded into a cell twice)
+            same = (ax[i_rep] == ax[j]) & (ay[i_rep] == ay[j]) & (bx[i_rep] == bx[j]) & (by[i_rep] == by[j])
+            i_rep, j = i_rep[~same], j[~same]
+            keep = interacting_mask(
+                ax[i_rep], ay[i_rep], bx[i_rep], by[i_rep], ax[j], ay[j], bx[j], by[j]
+            )
+            i_rep, j = i_rep[keep], j[keep]
+            for i, jj in zip(i_rep.tolist(), j.tolist()):
+                ti = (int(ax[i]), int(ay[i]), int(bx[i]), int(by[i]))
+                tj = (int(ax[jj]), int(ay[jj]), int(bx[jj]), int(by[jj]))
                 pm, rnd = cross_pair(ti, tj, 2)
                 for which, x, y in pm:
                     t = ti if which == 0 else tj
@@ -239,18 +251,23 @@ def apply_marks_df(
     )
     j = segs.join(grouped, ["ax", "ay", "bx", "by"], "left")
 
-    # sort key: x asc, then y toward b (sign of by-ay); marks equal to endpoints drop
+    # sort key: x asc, then y toward b (sign of by-ay); marks equal to endpoints
+    # drop. The sort uses DEFAULT struct ordering on a computed key field — a
+    # comparator lambda here would be interpreted per comparison (no codegen) and
+    # dominates wall-clock when segments carry hundreds of marks.
     chain = """
     filter(
       array_distinct(
         concat(
           array(struct(ax AS px, ay AS py)),
-          array_sort(
-            transform(coalesce(mks, array()),
-                      m -> struct(m.px AS px, m.py AS py)),
-            (l, r) -> CASE WHEN l.px < r.px THEN -1 WHEN l.px > r.px THEN 1
-                           WHEN (by >= ay AND l.py < r.py) OR (by < ay AND l.py > r.py) THEN -1
-                           WHEN l.py = r.py THEN 0 ELSE 1 END
+          transform(
+            array_sort(
+              transform(coalesce(mks, array()),
+                        m -> struct(m.px AS px,
+                                    CASE WHEN by >= ay THEN m.py ELSE -m.py END AS k,
+                                    m.py AS py))
+            ),
+            s -> struct(s.px AS px, s.py AS py)
           ),
           array(struct(bx AS px, by AS py))
         )
@@ -258,24 +275,36 @@ def apply_marks_df(
       p -> true
     )
     """
-    exploded = (
-        j.withColumn("chain", F.expr(chain))
-        .withColumn(
-            "pairs",
-            F.expr(
-                "transform(sequence(0, size(chain) - 2),"
-                " i -> struct(chain[i] AS p, chain[i+1] AS q))"
-            ),
-        )
-        .withColumn("e", F.explode("pairs"))
-        .where("e.p.px != e.q.px OR e.p.py != e.q.py")
+    # CRITICAL: pair consecutive chain points via posexplode + window lead, NOT
+    # by indexing the chain array inside another transform — Catalyst collapses
+    # projections, so chain[i] indexing would re-inline and re-evaluate the whole
+    # sort/dedup chain expression PER ELEMENT ACCESS (measured 378 s for 512
+    # segments x 256 marks; the generator evaluates it once per row).
+    from pyspark.sql.window import Window
+
+    exploded = j.select(
+        "ax",
+        "ay",
+        "bx",
+        "by",
+        "subj",
+        "clip",
+        *[F.col(c) for c in (extra_aggs or {})],
+        F.posexplode(F.expr(chain)).alias("pos", "p"),
     )
-    fwd = F.expr("e.p.px < e.q.px OR (e.p.px = e.q.px AND e.p.py < e.q.py)")
-    out = exploded.select(
-        F.when(fwd, F.col("e.p.px")).otherwise(F.col("e.q.px")).alias("ax"),
-        F.when(fwd, F.col("e.p.py")).otherwise(F.col("e.q.py")).alias("ay"),
-        F.when(fwd, F.col("e.q.px")).otherwise(F.col("e.p.px")).alias("bx"),
-        F.when(fwd, F.col("e.q.py")).otherwise(F.col("e.p.py")).alias("by"),
+    w = Window.partitionBy("ax", "ay", "bx", "by").orderBy("pos")
+    paired = (
+        exploded.withColumn("qx", F.lead("p.px").over(w))
+        .withColumn("qy", F.lead("p.py").over(w))
+        .where(F.col("qx").isNotNull())
+        .where((F.col("p.px") != F.col("qx")) | (F.col("p.py") != F.col("qy")))
+    )
+    fwd = F.expr("p.px < qx OR (p.px = qx AND p.py < qy)")
+    out = paired.select(
+        F.when(fwd, F.col("p.px")).otherwise(F.col("qx")).alias("ax"),
+        F.when(fwd, F.col("p.py")).otherwise(F.col("qy")).alias("ay"),
+        F.when(fwd, F.col("qx")).otherwise(F.col("p.px")).alias("bx"),
+        F.when(fwd, F.col("qy")).otherwise(F.col("p.py")).alias("by"),
         F.when(fwd, F.col("subj")).otherwise(-F.col("subj")).alias("subj"),
         F.when(fwd, F.col("clip")).otherwise(-F.col("clip")).alias("clip"),
         *[F.col(c) for c in (extra_aggs or {})],
@@ -301,7 +330,11 @@ def split_segments_df(
     for rnd in range(max_rounds):
         bounds = _count_and_bounds(segs)  # one scalar job: count + bbox together
         last_n = bounds[0]
-        cells_per_axis = max(1, int((bounds[0] / max(target_per_cell, 1)) ** 0.5))
+        # parallelism floor: crossing-DENSE inputs (few long segments, many
+        # intersections) would otherwise land in one cell and serialize the
+        # exact solver; extra cover rows are cheap, idle cells cost nothing
+        floor = 8 if bounds[0] >= 64 else 1
+        cells_per_axis = max(floor, int((bounds[0] / max(target_per_cell, 1)) ** 0.5))
         marks, _ = split_round(segs, cells_per_axis, bounds=bounds)
         marks = marks.localCheckpoint(eager=True)
         if marks.isEmpty():
@@ -377,7 +410,9 @@ def compute_fills_df(
         n = getattr(segs, "_ioverlay_n_segments", None)
         if n is None:
             n = segs.count()
-        n_strips = max(1, min(512, n // 4000))
+        # strip kernels are O(n_strip * m_strip): finer strips cut the quadratic
+        # term; per-strip constants are negligible beyond ~2k segments
+        n_strips = max(1, min(1024, n // 2000))
     if n_strips > 1:
         # strip edges from midpoint quantiles (doubled-coordinate midpoints)
         mids = segs.select(((F.col("ax") + F.col("bx"))).alias("mx2"))
@@ -412,7 +447,14 @@ def compute_fills_df(
 
 def _local_overlay_kernel(rule: OverlayRule, fill_rule: FillRule, options: OverlayOptions):
     """One-task exact kernel over a merged segment set: split fixpoint + fill +
-    extract + hole binding, all in numpy/python — the List-solver analog."""
+    extract + hole binding, all in numpy/python — the List-solver analog.
+
+    Uses the BATCHED split/fill machinery (vectorized candidate prefilter; exact
+    python-int cross solver only on interacting pairs — bit-identical to the
+    scalar kernel, differential-tested) treating the whole job as one tile;
+    falls back to the scalar python-int path when coordinates exceed the
+    int64-safe range."""
+    from ..kernel.batch import _COORD_CAP, _fills_batch, _split_batch
     from ..kernel.extract import extract_shapes, ring_area2
     from ..kernel.fill import compute_fills as kernel_fills
     from ..kernel.segments import Segments
@@ -427,7 +469,15 @@ def _local_overlay_kernel(rule: OverlayRule, fill_rule: FillRule, options: Overl
             pdf["subj"].to_numpy(np.int64),
             pdf["clip"].to_numpy(np.int64),
         )
-        segs = kernel_split(segs)
+        coords = [segs.ax, segs.ay, segs.bx, segs.by]
+        cmax = max((int(np.abs(c).max()) for c in coords if len(c)), default=0)
+        if cmax < _COORD_CAP:
+            segs = _split_batch(segs)  # vectorized prefilter + exact solver
+        else:
+            segs = kernel_split(segs)  # python-int path for huge coordinates
+        # fill: the chunked midpoint ray-cast (O(n*m) bounded by the dispatch's
+        # post-split size estimate; _fills_batch's single-tile windows would
+        # materialize the full pair matrix)
         fills = kernel_fills(segs, fill_rule)
         shapes = extract_shapes(segs, fills, rule, options)
         rows = []
@@ -459,6 +509,7 @@ def distributed_overlay(
     options: OverlayOptions | None = None,
     checkpoint_dir: str | None = None,
     small_threshold: int = 100_000,
+    pair_threshold: int = 40_000,
     force_distributed: bool = False,
 ) -> DataFrame:
     """End-to-end distributed boolean overlay of ONE huge job.
@@ -466,13 +517,15 @@ def distributed_overlay(
     Strategy dispatch (reference Solver::is_list_split / is_fragmentation_required,
     iOverlay/src/core/solver.rs:141-189, applied at pipeline level): the
     distributed MERGE always runs (it is the stage that shrinks the data — e.g. a
-    contiguous checkerboard's interior edges cancel), then the POST-MERGE segment
-    count picks the plan. At or below `small_threshold` the remaining problem fits
-    one executor task: a single applyInPandas runs the exact kernel (split + fill
-    + extract + hole binding) — one job instead of ~12 driver-coordinated jobs.
-    Above it (or with force_distributed), the fully distributed fixpoint /
-    x-strip fill / component extraction pipeline runs. Differential tests assert
-    both paths agree.
+    contiguous checkerboard's interior edges cancel), then TWO criteria pick the
+    plan: the post-merge segment count AND an estimated candidate-pair bound
+    (sum of c·(c−1)/2 over a 32×32 grid-cover histogram). The pair bound matters
+    because post-merge size says nothing about post-SPLIT size — a lines-net of
+    2n long strips is only 8n segments but explodes into n² crossings, which
+    would OOM a single task at scale. Both small → one applyInPandas task runs
+    the exact kernel (split + fill + extract + hole binding) in one job; either
+    large (or force_distributed) → the fully distributed fixpoint / x-strip fill
+    / component extraction pipeline. Differential tests assert the paths agree.
 
     segs: (ax, ay, bx, by, subj, clip) raw directed-normalized segments (e.g. from
     the DataFrame segment builder). Returns rings: (shape_id, ring_id, is_hole,
@@ -487,13 +540,25 @@ def distributed_overlay(
     merged = merge_segments_df(segs).localCheckpoint(eager=True)
     bounds = _count_and_bounds(merged)
     if not force_distributed and bounds[0] <= small_threshold:
-        return (
-            merged.withColumn("_g", F.lit(0))
-            .groupBy("_g")
-            .applyInPandas(
-                _local_overlay_kernel(rule, fill_rule, options), schema=RINGS_OUT_SCHEMA
-            )
+        cover, _ = salted_cover(merged, cells_per_axis=32, hot_threshold=1 << 62, bounds=bounds)
+        est_pairs = int(
+            cover.groupBy("cx", "cy")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+            .first()[0]
+            or 0
         )
+        # every crossing adds two sub-segments: the POST-split size bound is what
+        # the one-task kernel's O(n*m) fill must survive, not the input size
+        est_out = bounds[0] + 2 * est_pairs
+        if est_out <= pair_threshold:
+            return (
+                merged.withColumn("_g", F.lit(0))
+                .groupBy("_g")
+                .applyInPandas(
+                    _local_overlay_kernel(rule, fill_rule, options), schema=RINGS_OUT_SCHEMA
+                )
+            )
     split = split_segments_df(merged, checkpoint_dir=checkpoint_dir, pre_merged=True)
     fills = compute_fills_df(split, fill_rule)
     return extract_shapes_df(fills, rule, options)

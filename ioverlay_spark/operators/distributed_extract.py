@@ -84,7 +84,7 @@ def _union_find_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 40, local_threshold: int = 500_000
+    edges: DataFrame, max_rounds: int = 40, local_threshold: int = 2_000_000
 ) -> DataFrame:
     """Connected components: edges(u, v) long node ids -> (node, component=min id).
 
@@ -182,49 +182,58 @@ RINGS_SCHEMA = StructType(
 
 
 def _extract_kernel(rule: OverlayRule, options: OverlayOptions):
+    """Kernel over a SALT group holding MANY components (one applyInPandas group
+    per component would pay per-group Arrow overhead x millions of components;
+    salting bounds the group count while each component is still walked alone)."""
     from ..kernel.extract import ring_area2, simplify_ring, walk_contours
     from ..kernel.segments import Segments
 
     clockwise = options.output_direction == ContourDirection.CLOCKWISE
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        comp = int(pdf["component"].iloc[0])
-        order = np.lexsort(
-            (pdf["by"].to_numpy(), pdf["bx"].to_numpy(), pdf["ay"].to_numpy(), pdf["ax"].to_numpy())
-        )
-        segs = Segments(
-            pdf["ax"].to_numpy()[order],
-            pdf["ay"].to_numpy()[order],
-            pdf["bx"].to_numpy()[order],
-            pdf["by"].to_numpy()[order],
-            pdf["subj"].to_numpy()[order],
-            pdf["clip"].to_numpy()[order],
-        )
-        fills = pdf["fill"].to_numpy()[order].astype(np.uint8)
-        contours = walk_contours(segs, fills, rule, clockwise)
         rows = []
         min_area2 = 2 * options.min_output_area
-        for i, (ring, hole) in enumerate(contours):
-            if not options.preserve_output_collinear:
-                ring = simplify_ring(list(ring))
-            if len(ring) < 3:
-                continue
-            a2 = ring_area2(ring)
-            if a2 == 0 or (min_area2 > 0 and abs(a2) < min_area2):
-                continue
-            k = min(range(len(ring)), key=lambda t: ring[t])
-            rows.append(
+        for comp, grp in pdf.groupby("component", sort=False):
+            comp = int(comp)
+            order = np.lexsort(
                 (
-                    comp,
-                    comp * 1_000_000 + i,
-                    bool(hole),
-                    [p[0] for p in ring],
-                    [p[1] for p in ring],
-                    a2,
-                    ring[k][0],
-                    ring[k][1],
+                    grp["by"].to_numpy(),
+                    grp["bx"].to_numpy(),
+                    grp["ay"].to_numpy(),
+                    grp["ax"].to_numpy(),
                 )
             )
+            segs = Segments(
+                grp["ax"].to_numpy()[order],
+                grp["ay"].to_numpy()[order],
+                grp["bx"].to_numpy()[order],
+                grp["by"].to_numpy()[order],
+                grp["subj"].to_numpy()[order],
+                grp["clip"].to_numpy()[order],
+            )
+            fills = grp["fill"].to_numpy()[order].astype(np.uint8)
+            contours = walk_contours(segs, fills, rule, clockwise)
+            for i, (ring, hole) in enumerate(contours):
+                if not options.preserve_output_collinear:
+                    ring = simplify_ring(list(ring))
+                if len(ring) < 3:
+                    continue
+                a2 = ring_area2(ring)
+                if a2 == 0 or (min_area2 > 0 and abs(a2) < min_area2):
+                    continue
+                k = min(range(len(ring)), key=lambda t: ring[t])
+                rows.append(
+                    (
+                        comp,
+                        comp * 1_000_000 + i,
+                        bool(hole),
+                        [p[0] for p in ring],
+                        [p[1] for p in ring],
+                        a2,
+                        ring[k][0],
+                        ring[k][1],
+                    )
+                )
         return pd.DataFrame(
             rows,
             columns=[
@@ -370,9 +379,13 @@ def extract_shapes_df(
         .join(comp, on=F.col("u") == comp["node"])
         .drop("node", "u")
     )
+    n_part = int(fills.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     rings = (
-        labeled.groupBy("component")  # groupBy already hash-shuffles on the key;
-        # an explicit repartition would add a second full shuffle
+        # salt components into a BOUNDED number of groups (per-group Arrow
+        # overhead x millions of tiny components would dominate otherwise);
+        # the kernel walks each component separately inside the group
+        labeled.withColumn("_salt", F.pmod(F.hash("component"), F.lit(8 * n_part)))
+        .groupBy("_salt")
         .applyInPandas(_extract_kernel(rule, options), schema=RINGS_SCHEMA)
         .localCheckpoint(eager=True)
     )

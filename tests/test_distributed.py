@@ -198,3 +198,74 @@ def test_distributed_extract_no_ring_collect(spark, board, monkeypatch):
     # board-6 XOR: both tilings are contiguous -> one frame hull + one hole
     assert len(pdf) == 2 and any(r["is_hole"] for r in pdf)
     assert sum(collected) <= 4, f"driver materialized {sum(collected)} rows"
+
+
+def lines_net(n: int, a: int = 20):
+    """The reference's lines_net scenario (performance/rust_app many_lines_x/y):
+    n vertical strips (subject) x n horizontal strips (clip), width a/2 at
+    spacing a — INTERSECT is exactly n^2 squares of (a/2)^2."""
+    w = a // 2
+    s = a * n // 2
+    subj, clip = [], []
+    x = -s + w // 2
+    for _ in range(n):
+        subj.append([(x, -s), (x + w, -s), (x + w, s), (x, s)])
+        x += a
+    y = -s + w // 2
+    for _ in range(n):
+        clip.append([(-s, y), (s, y), (s, y + w), (-s, y + w)])
+        y += a
+    return subj, clip
+
+
+def test_lines_net_intersect_closed_form(spark):
+    """Real-crossing workload (nothing cancels at merge): n^2 intersection
+    squares; checks the dispatch pair-bound guard + both plans against the
+    closed form."""
+    from ioverlay_spark.options import FillRule, OverlayRule
+    from ioverlay_spark.operators.distributed import (
+        contours_to_segments_df,
+        distributed_overlay,
+    )
+
+    n, a = 24, 20
+    subj, clip = lines_net(n, a)
+    df = spark.createDataFrame(
+        rings_to_contours_rows(subj, clip), ["role", "cid", "pts_x", "pts_y"]
+    )
+    expect_area2 = 2 * n * n * (a // 2) * (a // 2)
+    for forced in (False, True):
+        out = distributed_overlay(
+            contours_to_segments_df(spark, df),
+            OverlayRule.INTERSECT,
+            FillRule.EVEN_ODD,
+            force_distributed=forced,
+        ).toPandas()
+        assert len(out) == n * n, f"forced={forced}: {len(out)} rings"
+        assert int(out["area2"].sum()) == expect_area2
+
+
+def test_lines_net_pair_guard_routes_to_distributed(spark):
+    """With a tiny pair threshold the dispatch must refuse the single-task path
+    even though the pre-split segment count is small."""
+    from ioverlay_spark.options import FillRule, OverlayRule
+    from ioverlay_spark.operators.distributed import (
+        contours_to_segments_df,
+        distributed_overlay,
+    )
+
+    n, a = 16, 20
+    subj, clip = lines_net(n, a)
+    df = spark.createDataFrame(
+        rings_to_contours_rows(subj, clip), ["role", "cid", "pts_x", "pts_y"]
+    )
+    out = distributed_overlay(
+        contours_to_segments_df(spark, df),
+        OverlayRule.INTERSECT,
+        FillRule.EVEN_ODD,
+        pair_threshold=10,  # force the distributed plan via the pair bound
+    ).toPandas()
+    assert len(out) == n * n
+    # distributed extractor ids are component-derived (small path uses 0..k);
+    # n^2 separate squares -> n^2 distinct shape ids either way
+    assert out["shape_id"].nunique() == n * n
