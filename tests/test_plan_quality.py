@@ -143,3 +143,50 @@ def test_dim_join_broadcasts(spark):
     p = plan_str(df)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_minhash_band_join_is_equi_join(spark):
+    """The LSH band self-join must stay a hash equi-join on (band, sig) — no
+    nested-loop fallback, no cartesian (would be quadratic at corpus scale)."""
+    from ioverlay_spark.queries import REGISTRY
+
+    df = REGISTRY["minhash_lsh_pairs"].spark(spark, SF)
+    p = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_e2e_verify_joins_are_equi(spark):
+    from ioverlay_spark.queries_ext import _dedup_verified_pairs_sql
+
+    df = spark.sql(_dedup_verified_pairs_sql("spark", f"parquet.`{SF}/documents.parquet`"))
+    p = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_hole_binding_band_join_is_equi(spark):
+    """bind_holes_df's anchor x segment join must be an equi-join on the x-band
+    (shuffle- or broadcast-hash), never a nested loop over segments."""
+    from ioverlay_spark.operators.distributed_extract import bind_holes_df
+
+    hulls = spark.createDataFrame(
+        [(1, [0, 100, 100, 0], [0, 0, 100, 100])], ["ring_id", "pts_x", "pts_y"]
+    )
+    holes = spark.createDataFrame([(10, 50, 50)], ["ring_id", "anchor_x", "anchor_y"])
+    df = bind_holes_df(hulls, holes)
+    p = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_assign_broadcasts_centroids(spark):
+    """The IVF coarse-quantizer join must broadcast the tiny centroid table —
+    a sort-merge join would shuffle the full embedding corpus."""
+    from ioverlay_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = ivf_assign(emb, ivf_centroids(emb, 8))
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
