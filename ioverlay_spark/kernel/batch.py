@@ -382,6 +382,252 @@ def graph_batch(
     return out
 
 
+def _fast_contours_batch(
+    segs, mask, fills, starts, rule, clockwise_output, off, y0, max_ring=256
+):
+    """Vectorized degree-2 ring walk over a WHOLE batch for one rule.
+
+    When every node of a tile's boundary graph has degree exactly 2 (the common
+    case: simple faces, no pinch points), the reference walk's next-link choice
+    is forced at every step — only the start link (min id, scan order), the
+    left-top pick and the direction bit need the scalar rules, and those
+    vectorize. Produces contours BIT-IDENTICAL to walk_contours (differential-
+    tested); tiles with any higher-degree node, a self-referential node, or a
+    ring longer than max_ring are reported for the scalar path.
+
+    Returns (tile_fast: bool per slot, contours: dict slot -> [(ring, hole)])."""
+    from .extract import rule_inside
+
+    pos = np.flatnonzero(mask)
+    m = len(pos)
+    nslots = len(starts) - 1
+    tile_fast = np.ones(nslots, dtype=bool)
+    if m == 0:
+        return tile_fast, None
+    lax, lay = segs.ax[pos], segs.ay[pos]
+    lbx, lby = segs.bx[pos], segs.by[pos]
+    lfill = fills[pos]
+    # slot of each link (starts index the FULL segment array)
+    link_slot = np.searchsorted(starts, pos, side="right") - 1
+
+    # node ids over interleaved endpoints (a0, b0, a1, b1, ...) — tiles are
+    # x-disjoint so points never collide across tiles
+    ends = np.empty((2 * m, 2), dtype=np.int64)
+    ends[0::2, 0], ends[0::2, 1] = lax, lay
+    ends[1::2, 0], ends[1::2, 1] = lbx, lby
+    v = ends.view([("x", np.int64), ("y", np.int64)]).ravel()
+    _, inv = np.unique(v, return_inverse=True)
+    a_node = inv[0::2]
+    b_node = inv[1::2]
+    deg = np.bincount(inv)
+    bad_entries = deg[inv] != 2
+    if bad_entries.any():
+        bad_links = np.unique(np.repeat(np.arange(m), 2)[bad_entries])
+        tile_fast[np.unique(link_slot[bad_links])] = False
+    # incidence pairs per degree-2 node, in scalar scan order (entry index)
+    order = np.argsort(inv, kind="stable")
+    link_of_entry = np.repeat(np.arange(m, dtype=np.int64), 2)
+    n_nodes = len(deg)
+    # only degree-2 nodes are addressed below; build dense (n_nodes, 2) tables
+    l12 = np.full((n_nodes, 2), -1, dtype=np.int64)
+    ok2 = deg == 2
+    # positions of each node's entries in sorted order
+    first_pos = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(deg)])[:-1]
+    nodes2 = np.flatnonzero(ok2)
+    l12[nodes2, 0] = link_of_entry[order[first_pos[nodes2]]]
+    l12[nodes2, 1] = link_of_entry[order[first_pos[nodes2] + 1]]
+    # a node whose two entries are the same link (degenerate) -> slow tile
+    same = nodes2[l12[nodes2, 0] == l12[nodes2, 1]]
+    if len(same):
+        ent = np.isin(inv, same)
+        tile_fast[np.unique(link_slot[np.unique(np.repeat(np.arange(m), 2)[ent])])] = False
+
+    if not tile_fast.any() or not tile_fast[link_slot].any():
+        # e.g. XOR: every polygon crossing is a degree-4 pinch -> nothing to
+        # serve; skip the pointer-doubling work entirely
+        tile_fast[:] = False
+        return tile_fast, None
+
+    # directed edges: id = 2*link + bit, bit=0 -> to_node = a_node, bit=1 -> b_node
+    ids = np.arange(2 * m, dtype=np.int64)
+    dlink = ids >> 1
+    dbit = ids & 1
+    to_node = np.where(dbit == 1, b_node[dlink], a_node[dlink])
+    safe = (to_node >= 0) & ok2[to_node]
+    to_safe = np.where(safe, to_node, 0)
+    o = np.where(l12[to_safe, 0] == dlink, l12[to_safe, 1], l12[to_safe, 0])
+    o = np.where(safe, o, dlink)  # harmless self-successor on slow tiles
+    # new bit: the end of o that is NOT to_node
+    nbit = np.where(a_node[o] == to_safe, 1, 0)
+    perm = 2 * o + nbit
+
+    # cycle labeling: min link id reachable (pointer doubling)
+    val = dlink.copy()
+    p = perm.copy()
+    for _ in range(int(np.ceil(np.log2(max(2 * m, 2)))) + 1):
+        val = np.minimum(val, val[p])
+        p = p[p]
+    # ring length per start = (#directed ids with this label) / 2
+    counts = np.bincount(val, minlength=m)
+    ring_len = counts // 2
+    start_links = np.flatnonzero(counts)  # labels are link ids
+    # cap: huge rings take the scalar path
+    big = start_links[ring_len[start_links] > max_ring]
+    if len(big):
+        tile_fast[np.unique(link_slot[big])] = False
+
+    fast_links = tile_fast[link_slot]
+    start_links = start_links[fast_links[start_links]]
+    if len(start_links) == 0:
+        return tile_fast, None
+
+    # left-top pick at the start link (degree-2 specialization of the scalar
+    # left_top_link scan). The scan is ORDER-DEPENDENT: with incidence order
+    # [start, o] the result is o iff c1 >= 0; with [o, start] the scan may flip
+    # to o (c1 >= 0) and then back to start (c2 >= 0), so the result is o iff
+    # c1 >= 0 and c2 < 0. c1 = cross(b_s - a_s, b_o - a_s) tests o against the
+    # start link; c2 = cross(b_o - a_o, b_s - a_o) tests start against o.
+    s = start_links
+    sa_node = a_node[s]
+    first_is_start = l12[sa_node, 0] == s
+    o_at = np.where(first_is_start, l12[sa_node, 1], l12[sa_node, 0])
+    c1 = (lbx[s] - lax[s]) * (lby[o_at] - lay[s]) - (lby[s] - lay[s]) * (
+        lbx[o_at] - lax[s]
+    )
+    c2 = (lbx[o_at] - lax[o_at]) * (lby[s] - lay[o_at]) - (lby[o_at] - lay[o_at]) * (
+        lbx[s] - lax[o_at]
+    )
+    pick_o = np.where(first_is_start, c1 >= 0, (c1 >= 0) & (c2 < 0))
+    top = np.where(pick_o, o_at, s)
+    s_top = (lfill[top] & 1) != 0  # SUBJ_TOP
+    c_top = (lfill[top] & 4) != 0  # CLIP_TOP
+    hole = rule_inside(s_top, c_top, rule)
+    d = hole == clockwise_output
+
+    # first ring point + starting directed edge
+    first_x = np.where(d, lbx[top], lax[top])
+    first_y = np.where(d, lby[top], lay[top])
+    cur = np.where(d, 2 * top + 0, 2 * top + 1)  # toward a_node when d
+
+    lens = ring_len[s]
+    L_max = int(lens.max())
+    nrings = len(s)
+    # node point lookup (any entry of the node)
+    node_x = np.zeros(n_nodes, dtype=np.int64)
+    node_y = np.zeros(n_nodes, dtype=np.int64)
+    node_x[inv] = ends[:, 0]
+    node_y[inv] = ends[:, 1]
+
+    buf_x = np.zeros((nrings, L_max), dtype=np.int64)
+    buf_y = np.zeros((nrings, L_max), dtype=np.int64)
+    for step in range(L_max - 1):
+        tn = to_node[cur]
+        buf_x[:, step] = node_x[tn]
+        buf_y[:, step] = node_y[tn]
+        cur = perm[cur]
+
+    # back to per-job coordinates (vectorized); emission order = scalar walk
+    # order (ascending start link within each slot)
+    r_slot = link_slot[s]
+    first_x = first_x - off[r_slot]
+    first_y = first_y + y0
+    buf_x -= off[r_slot][:, None]
+    buf_y += y0
+    order_r = np.lexsort((s, r_slot))
+    ring_data = {
+        "slot": r_slot[order_r],
+        "hole": hole[order_r],
+        "len": lens[order_r],
+        "first_x": first_x[order_r],
+        "first_y": first_y[order_r],
+        "buf_x": buf_x[order_r],
+        "buf_y": buf_y[order_r],
+        "fast_slots": np.flatnonzero(tile_fast),
+    }
+    return tile_fast, ring_data
+
+
+def _finalize_fast(ring_data, options) -> dict[int, Shapes]:
+    """Vectorized validate + classify for the fast-walk ring buffers: rings are
+    grouped by length into regular (k, L) blocks, duplicate/collinear-vertex
+    detection and the shoelace area run as array ops, and only DIRTY rings (rare)
+    take the scalar simplify path. Hole binding runs per tile only when a tile
+    actually has holes. Output equals extract_shapes over the same contours."""
+    from .extract import bind_holes, ring_area2, simplify_ring
+
+    out: dict[int, list] = {int(sl): [] for sl in ring_data["fast_slots"]}
+    n = len(ring_data["slot"])
+    if n == 0:
+        return {sl: [] for sl in out}
+    hulls_by_slot: dict[int, list] = {}
+    holes_by_slot: dict[int, list] = {}
+    min_area2 = 2 * options.min_output_area
+    simplify = not options.preserve_output_collinear
+
+    lens = ring_data["len"]
+    for L in np.unique(lens).tolist():
+        sel = np.flatnonzero(lens == L)
+        k = len(sel)
+        block = np.empty((k, L, 2), dtype=np.int64)
+        block[:, 0, 0] = ring_data["first_x"][sel]
+        block[:, 0, 1] = ring_data["first_y"][sel]
+        if L > 1:
+            block[:, 1:, 0] = ring_data["buf_x"][sel, : L - 1]
+            block[:, 1:, 1] = ring_data["buf_y"][sel, : L - 1]
+        prv = np.roll(block, 1, axis=1)
+        nxt = np.roll(block, -1, axis=1)
+        if simplify:
+            dup = np.all(block == prv, axis=2).any(axis=1)
+            a = block - prv
+            b = nxt - block
+            cr = a[:, :, 0] * b[:, :, 1] - a[:, :, 1] * b[:, :, 0]
+            dirty = dup | (cr == 0).any(axis=1) | (L < 3)
+        else:
+            dirty = np.zeros(k, dtype=bool)
+        # int64 shoelace guard: route the whole L-group to the exact python-int
+        # path when term sums could overflow (scalar ring_area2 is object-int)
+        mx = int(np.abs(block).max(initial=0))
+        if L * mx * mx >= (1 << 62):
+            dirty[:] = True
+        # shoelace (valid for clean rings; dirty recomputed after simplify)
+        x = block[:, :, 0]
+        y = block[:, :, 1]
+        a2 = (x * np.roll(y, -1, axis=1)).sum(axis=1) - (
+            np.roll(x, -1, axis=1) * y
+        ).sum(axis=1)
+
+        slots = ring_data["slot"][sel]
+        holes_f = ring_data["hole"][sel]
+        for t in range(k):
+            ri = int(sel[t])
+            if dirty[t]:
+                ring = list(map(tuple, block[t].tolist()))
+                if simplify:
+                    ring = simplify_ring(ring)
+                if len(ring) < 3:
+                    continue
+                ra2 = ring_area2(ring)
+                arr = np.array(ring, dtype=np.int64)
+            else:
+                ra2 = int(a2[t])
+                arr = block[t]
+            if ra2 == 0 or (min_area2 > 0 and abs(ra2) < min_area2):
+                continue
+            sl = int(slots[t])
+            tgt = holes_by_slot if holes_f[t] else hulls_by_slot
+            tgt.setdefault(sl, []).append((ri, arr))
+
+    for sl in out:
+        hulls = sorted(hulls_by_slot.get(sl, []))
+        holes = sorted(holes_by_slot.get(sl, []))
+        if not holes:
+            out[sl] = [[arr] for _, arr in hulls]
+            continue
+        shapes = bind_holes([h for _, h in hulls], [h for _, h in holes])
+        out[sl] = [[np.array(r, dtype=np.int64) for r in shape] for shape in shapes]
+    return out
+
+
 def overlay_batch(
     jobs: list[tuple[list[np.ndarray], list[np.ndarray]]],
     rules: list[OverlayRule],
@@ -409,24 +655,47 @@ def overlay_batch(
         return results
     segs, all_fills, starts, off, y0 = t
     # boundary masks per rule, computed ONCE over the whole batch and sliced per tile
+    from ..options import ContourDirection
     from .extract import boundary_mask
 
+    clockwise_output = options.output_direction == ContourDirection.CLOCKWISE
     rule_masks = {rule: boundary_mask(all_fills, rule) for rule in rules}
+    # vectorized degree-2 walk + finalize over the whole batch per rule; tiles it
+    # cannot serve (pinch points / huge rings) fall back to the scalar walk below
+    fast_shapes: dict[OverlayRule, dict[int, Shapes]] = {}
+    fast_mask: dict[OverlayRule, np.ndarray] = {}
+    for rule in rules:
+        tile_fast, ring_data = _fast_contours_batch(
+            segs, rule_masks[rule], all_fills, starts, rule, clockwise_output, off, y0
+        )
+        fast_mask[rule] = tile_fast
+        if ring_data is None:
+            fast_shapes[rule] = {}
+        else:
+            fast_shapes[rule] = _finalize_fast(ring_data, options)
+    any_slow = ~np.ones(nj, dtype=bool)
+    for rule in rules:
+        any_slow |= ~fast_mask[rule]
     for slot in range(nj):
         lo, hi = int(starts[slot]), int(starts[slot + 1])
         if lo == hi:
             continue
-        sub = Segments(
-            segs.ax[lo:hi] - int(off[slot]),
-            segs.ay[lo:hi] + y0,
-            segs.bx[lo:hi] - int(off[slot]),
-            segs.by[lo:hi] + y0,
-            segs.subj[lo:hi],
-            segs.clip[lo:hi],
-        )
-        fills = all_fills[lo:hi]
-        for rule in rules:
-            results[slot][rule] = extract_shapes(
-                sub, fills, rule, options, boundary=rule_masks[rule][lo:hi]
+        slow = bool(any_slow[slot])
+        if slow:
+            sub = Segments(
+                segs.ax[lo:hi] - int(off[slot]),
+                segs.ay[lo:hi] + y0,
+                segs.bx[lo:hi] - int(off[slot]),
+                segs.by[lo:hi] + y0,
+                segs.subj[lo:hi],
+                segs.clip[lo:hi],
             )
+            fills = all_fills[lo:hi]
+        for rule in rules:
+            if fast_mask[rule][slot]:
+                results[slot][rule] = fast_shapes[rule].get(slot, [])
+            else:
+                results[slot][rule] = extract_shapes(
+                    sub, fills, rule, options, boundary=rule_masks[rule][lo:hi]
+                )
     return results

@@ -365,13 +365,16 @@ def extract_shapes(
     options: OverlayOptions,
     ogc: bool = False,
     boundary: np.ndarray | None = None,
+    contours: list | None = None,
 ) -> list[list[np.ndarray]]:
     """Full extraction: boundary filter -> reference walk -> validate -> hole binding.
 
     Returns shapes: list of [hull, hole, hole, ...] rings as (n,2) int64 arrays.
-    """
+    `contours` may carry precomputed [(ring_points, is_hole)] (the batch kernel's
+    vectorized degree-2 walk) — must equal walk_contours' output exactly."""
     clockwise_output = options.output_direction == ContourDirection.CLOCKWISE
-    contours = walk_contours(segs, fills, rule, clockwise_output, boundary)
+    if contours is None:
+        contours = walk_contours(segs, fills, rule, clockwise_output, boundary)
 
     hulls: list[list[tuple[int, int]]] = []
     holes: list[list[tuple[int, int]]] = []
