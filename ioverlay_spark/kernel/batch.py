@@ -628,17 +628,30 @@ def _finalize_fast(ring_data, options) -> dict[int, Shapes]:
     return out
 
 
+# The vectorized degree-2 walk trades python time for MEMORY BANDWIDTH: it wins
+# ~12%/core single-threaded but loses the measured 4->16-worker scaling on a
+# single box (0.906 -> 0.743 efficiency: 16 workers' streaming array ops
+# saturate the one shared memory bus, while the scalar walk stays cache-resident).
+# On a multi-executor cluster each node has its own bus, so the fast walk is the
+# right default THERE; on local mode the scaling-measured default is off.
+FAST_EXTRACT_DEFAULT = False
+
+
 def overlay_batch(
     jobs: list[tuple[list[np.ndarray], list[np.ndarray]]],
     rules: list[OverlayRule],
     fill_rule: FillRule = FillRule.EVEN_ODD,
     options: OverlayOptions = DEFAULT_OPTIONS,
+    fast_extract: bool | None = None,
 ) -> list[dict[OverlayRule, Shapes]]:
     """Run a batch of (subj_rings, clip_rings) jobs; returns per-job {rule: shapes}.
 
     Bit-identical to per-job kernel runs (tiles are disjoint in x, so no stage ever
     pairs segments across jobs). Falls back to the scalar path when coordinates are
-    large enough to need python-int math batch-wide."""
+    large enough to need python-int math batch-wide. fast_extract enables the
+    vectorized degree-2 ring walk (see FAST_EXTRACT_DEFAULT)."""
+    if fast_extract is None:
+        fast_extract = FAST_EXTRACT_DEFAULT
     rules = [OverlayRule(r) for r in rules]
     nj = len(jobs)
     if nj == 0:
@@ -665,6 +678,10 @@ def overlay_batch(
     fast_shapes: dict[OverlayRule, dict[int, Shapes]] = {}
     fast_mask: dict[OverlayRule, np.ndarray] = {}
     for rule in rules:
+        if not fast_extract:
+            fast_mask[rule] = np.zeros(nj, dtype=bool)
+            fast_shapes[rule] = {}
+            continue
         tile_fast, ring_data = _fast_contours_batch(
             segs, rule_masks[rule], all_fills, starts, rule, clockwise_output, off, y0
         )
