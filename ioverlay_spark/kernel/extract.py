@@ -305,11 +305,22 @@ def bind_holes(hulls: list, holes: list) -> list[list]:
     for kind, rings in ((0, hulls), (1, holes)):
         for ridx, ring in enumerate(rings):
             n = len(ring)
+            ccw = ring_area2(ring) > 0
             for i in range(n):
                 ax, ay = int(ring[i][0]), int(ring[i][1])
                 bx, by = int(ring[(i + 1) % n][0]), int(ring[(i + 1) % n][1])
                 if ax == bx:
                     continue
+                if kind == 0:
+                    # the hull's INTERIOR must lie above the segment for it to be
+                    # a valid "first below the anchor" parent witness (reference
+                    # ShapeBinder reads the same from is_fill_top): a CCW ring
+                    # has interior above exactly its +x-traversed edges. Shared
+                    # face boundaries appear once per adjacent face with opposite
+                    # directions — this filter picks the face that contains the
+                    # anchor instead of an arbitrary one.
+                    if (ax < bx) != ccw:
+                        continue
                 if ax > bx:
                     ax, ay, bx, by = bx, by, ax, ay
                 seg_rows.append((ax, ay, bx, by, kind, ridx))

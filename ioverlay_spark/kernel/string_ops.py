@@ -71,8 +71,12 @@ def _on_polygon_boundary(segs: Segments, ax, ay, bx, by) -> bool:
     return False
 
 
-def _split_path_edges(path: np.ndarray, segs: Segments, is_closed: bool) -> list[tuple]:
-    """Split a polyline's edges at every crossing with the polygon segments.
+def _split_path_edges(
+    path: np.ndarray, segs: Segments, is_closed: bool, extra_edges: list | None = None
+) -> list[tuple]:
+    """Split a polyline's edges at every crossing with the polygon segments (and
+    optionally `extra_edges` — other string edges, for the reference's combined
+    string overlay where strings also split each other).
 
     Returns ordered sub-edges [(x0, y0, x1, y1)] along the path direction."""
     pts = np.asarray(path, dtype=np.int64).reshape(-1, 2)
@@ -83,6 +87,8 @@ def _split_path_edges(path: np.ndarray, segs: Segments, is_closed: bool) -> list
         (int(segs.ax[i]), int(segs.ay[i]), int(segs.bx[i]), int(segs.by[i]))
         for i in range(len(segs))
     ]
+    if extra_edges:
+        seg_rows = seg_rows + [t for t in extra_edges]
     out = []
     count = n if is_closed else n - 1
     for e in range(count):
@@ -91,9 +97,12 @@ def _split_path_edges(path: np.ndarray, segs: Segments, is_closed: bool) -> list
         if p0 == p1:
             continue
         a, b = (p0, p1) if p0 < p1 else (p1, p0)
+        me = (a[0], a[1], b[0], b[1])
         marks = set()
         for t in seg_rows:
-            pm, _ = cross_pair((a[0], a[1], b[0], b[1]), t, 2)
+            if t == me:
+                continue  # the edge itself (when extra_edges covers this path)
+            pm, _ = cross_pair(me, t, 2)
             for which, x, y in pm:
                 if which == 0 and (x, y) != a and (x, y) != b:
                     marks.add((x, y))
@@ -124,12 +133,59 @@ def clip_path(
     for x0, y0, x1, y1 in sub:
         a, b = sorted([(x0, y0), (x1, y1)])
         if _on_polygon_boundary(segs, a[0], a[1], b[0], b[1]):
-            keep = boundary_included
+            # boundary_included picks which side owns the boundary (see clip_paths)
+            keep = boundary_included != invert
         else:
             w = _winding_below(segs, x0 + x1, y0 + y1)
             keep = _inside(w, fill_rule) != invert
         kept.append(keep)
     return _stitch_paths(sub, kept)
+
+
+def clip_paths(
+    body: list[np.ndarray],
+    paths: list[np.ndarray],
+    fill_rule: FillRule = FillRule.NON_ZERO,
+    invert: bool = False,
+    boundary_included: bool = True,
+    is_closed_paths: bool = False,
+) -> list[np.ndarray]:
+    """Clip MANY polylines by a polygon in one combined overlay (reference
+    IntClip::clip_paths, iOverlay/src/string/clip.rs): string edges split at
+    body crossings AND at string-string crossings/touches, exactly as the
+    reference's shared segment pipeline does; each sub-edge is then classified
+    and stitched per input path. Returns kept sub-paths in path order."""
+    segs = _polygon_segments(body, fill_rule)
+    # all string edges (a<b normalized) as extra split sources
+    str_edges = []
+    for path in paths:
+        pts = np.asarray(path, dtype=np.int64).reshape(-1, 2)
+        n = len(pts)
+        cnt = n if is_closed_paths else n - 1
+        for e in range(max(cnt, 0)):
+            p0 = (int(pts[e][0]), int(pts[e][1]))
+            p1 = (int(pts[(e + 1) % n][0]), int(pts[(e + 1) % n][1]))
+            if p0 == p1:
+                continue
+            a, b = (p0, p1) if p0 < p1 else (p1, p0)
+            str_edges.append((a[0], a[1], b[0], b[1]))
+    out: list[np.ndarray] = []
+    for path in paths:
+        sub = _split_path_edges(path, segs, is_closed_paths, extra_edges=str_edges)
+        kept = []
+        for x0, y0, x1, y1 in sub:
+            a, b = sorted([(x0, y0), (x1, y1)])
+            if _on_polygon_boundary(segs, a[0], a[1], b[0], b[1]):
+                # reference semantics (build/string.rs ClipRule filters):
+                # boundary_included picks which SIDE owns the boundary, so
+                # under invert an EXCLUDED boundary is kept (it is "outside")
+                keep = boundary_included != invert
+            else:
+                w = _winding_below(segs, x0 + x1, y0 + y1)
+                keep = _inside(w, fill_rule) != invert
+            kept.append(keep)
+        out.extend(_stitch_paths(sub, kept))
+    return out
 
 
 def _stitch_paths(sub: list[tuple], kept: list[bool]) -> list[np.ndarray]:
@@ -167,11 +223,11 @@ def slice_shape(
     polygon interior, added double-sided to the region-boundary face walk; the
     min-CW face traversal then yields the sliced sub-regions."""
     graph = build_graph(body, [], fill_rule, options)
-    wall_paths = []
-    for path in paths:
-        wall_paths.extend(
-            clip_path(body, path, fill_rule, invert=False, boundary_included=False)
-        )
+    # combined clip: walls split at body AND string-string crossings, matching
+    # the reference's single string overlay
+    wall_paths = clip_paths(
+        body, paths, fill_rule, invert=False, boundary_included=False
+    )
     return _slice_from_parts(graph.segments, graph.fills, wall_paths, options)
 
 
@@ -201,17 +257,38 @@ def _slice_from_parts(
         else:
             boundary.append((b, a))
 
-    # walls: the clipped interior sub-paths, as undirected point pairs
+    # walls: the clipped interior sub-paths, as undirected point pairs.
+    # COINCIDENT wall segments merge to one (the reference's ShapeCountString
+    # merge): an out-and-back string traverses the same wall twice, but the
+    # face walk must see a single double-sided wall, not two coincident ones
+    # (coincident pairs make every face between them a zero-area sliver).
+    seen = set()
     walls = []  # undirected (p, q)
     for sub in wall_paths:
         for i in range(len(sub) - 1):
             p = (int(sub[i][0]), int(sub[i][1]))
             q = (int(sub[i + 1][0]), int(sub[i + 1][1]))
-            if p != q:
-                walls.append((p, q))
+            if p == q:
+                continue
+            key = (p, q) if p < q else (q, p)
+            if key in seen:
+                continue
+            seen.add(key)
+            walls.append((p, q))
 
-    # split walls at wall-wall crossings / touches (exact)
+    # split walls at wall-wall crossings / touches (exact), then dedupe again:
+    # partially-overlapping collinear walls only become exactly coincident
+    # pieces after the mutual split
     walls = _mutual_split(walls)
+    seen2 = set()
+    uniq_walls = []
+    for p, q in walls:
+        key = (p, q) if p < q else (q, p)
+        if key in seen2:
+            continue
+        seen2.add(key)
+        uniq_walls.append((p, q))
+    walls = uniq_walls
     # split boundary edges at wall endpoints lying on them (T-junctions), so the
     # face walk has nodes to turn into the walls
     nodes = {p for e in walls for p in e}
@@ -228,10 +305,26 @@ def _slice_from_parts(
         ring = simplify_ring(ring)
         if len(ring) < 3:
             continue
-        a2 = ring_area2(ring)
-        if a2 == 0:
-            continue
-        (hulls if a2 > 0 else holes).append(ring)
+        # a face whose boundary touches an enclosed island through a wall chain
+        # comes back as ONE self-touching figure-8 orbit; split it at repeated
+        # vertices (the island piece flips orientation and becomes a hole —
+        # matching the reference slice extraction's hull+hole output)
+        pieces = [ring]
+        if len({p for p in ring}) != len(ring):
+            from .decompose import decompose_ring
+
+            pieces = [
+                [tuple(map(int, p)) for p in sub]
+                for sub in decompose_ring(np.array(ring, dtype=np.int64))
+            ]
+        for piece in pieces:
+            piece = simplify_ring(list(piece))
+            if len(piece) < 3:
+                continue
+            a2 = ring_area2(piece)
+            if a2 == 0:
+                continue
+            (hulls if a2 > 0 else holes).append(piece)
     shapes = bind_holes(hulls, holes)
     if options.output_direction == ContourDirection.CLOCKWISE:
         shapes = [[list(reversed(r)) for r in shape] for shape in shapes]
@@ -263,36 +356,48 @@ def _mutual_split(edges: list[tuple]) -> list[tuple]:
 
 
 def _split_at_points(dir_edges: list[tuple], points: set) -> list[tuple]:
-    """Split directed edges at any of `points` strictly interior to them (exact
-    collinearity + betweenness)."""
+    """Split directed edges at any of `points` lying (near-)interior to them.
+
+    Near = within the kernel's snap radius (dist^2 <= 2): clipped wall endpoints
+    are SNAP-ROUNDED intersection points that may sit up to ~1 unit off the body
+    edge — the reference's shared split fixpoint bends the body edge through the
+    rounded point, and the face walk needs the same T-junction node here
+    (exactly-on points are the d=0 case). Points are ordered along the edge by
+    their projection parameter."""
     out = []
     for p, q in dir_edges:
+        ab = (q[0] - p[0], q[1] - p[1])
+        den = ab[0] * ab[0] + ab[1] * ab[1]
         hits = []
         for r in points:
             if r == p or r == q:
                 continue
-            if (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0]) != 0:
+            ap = (r[0] - p[0], r[1] - p[1])
+            cr = ab[0] * ap[1] - ab[1] * ap[0]
+            # dist^2 to the LINE = cr^2 / den; accept within snap radius^2 = 2
+            if cr * cr > 2 * den:
                 continue
-            lo, hi = (p, q) if p < q else (q, p)
-            if lo < r < hi:
-                hits.append(r)
+            t_num = ab[0] * ap[0] + ab[1] * ap[1]
+            if not (0 < t_num < den):
+                continue  # projection strictly interior
+            hits.append((t_num, r))
         if not hits:
             out.append((p, q))
             continue
-        fwd = p < q
         hits.sort()
-        if not fwd:
-            hits.reverse()
-        run = [p] + hits + [q]
+        run = [p] + [r for _, r in hits] + [q]
         for t in range(len(run) - 1):
-            out.append((run[t], run[t + 1]))
+            if run[t] != run[t + 1]:
+                out.append((run[t], run[t + 1]))
     return out
 
 
 def _face_walk_min_cw(dir_edges: list[tuple]) -> list[list[tuple[int, int]]]:
-    """Planar face traversal: successor = first outgoing edge clockwise from the
-    reversed incoming direction (exact integer angular order). Traces faces with
-    interior on the left; walls traversed on both sides."""
+    """Planar face traversal via the rotation system: the successor of a directed
+    edge is the outgoing edge at its head immediately CLOCKWISE of the reversed
+    incoming direction (exact integer angular order, no state) — faces are the
+    orbits of that permutation, traced with interior on the left; walls are
+    traversed once per side, and a dead-end spur bounces back on its twin."""
     import functools
 
     m = len(dir_edges)
@@ -307,6 +412,7 @@ def _face_walk_min_cw(dir_edges: list[tuple]) -> list[list[tuple[int, int]]]:
         return (q[0] - p[0], q[1] - p[1])
 
     def angle_less(u, v):
+        # strict CCW order from angle 0 (positive x axis, inclusive)
         uh = 0 if (u[1] > 0 or (u[1] == 0 and u[0] > 0)) else 1
         vh = 0 if (v[1] > 0 or (v[1] == 0 and v[0] > 0)) else 1
         if uh != vh:
@@ -322,31 +428,24 @@ def _face_walk_min_cw(dir_edges: list[tuple]) -> list[list[tuple[int, int]]]:
     for p in out_at:
         out_at[p].sort(key=functools.cmp_to_key(cmp))
 
-    used = [False] * m
-
     def successor(e):
         p, q = dir_edges[e]
-        cand = out_at.get(q, [])
+        cand = out_at.get(q)
+        if not cand:
+            return None
         rev = (p[0] - q[0], p[1] - q[1])
+        # predecessor of rev in the CCW cyclic order = next edge clockwise of rev;
+        # an outgoing edge EQUAL to rev (the twin) is excluded from "less", so a
+        # spur endpoint wraps around to the twin only when nothing else exists
         best = None
         for f in cand:
-            if used[f]:
-                continue
-            df = dir_of(f)
-            if df == rev:
-                continue
-            if angle_less(df, rev):
-                if best is None or angle_less(dir_of(best), df):
-                    best = f
+            if angle_less(dir_of(f), rev):
+                best = f  # list is CCW-sorted: keep the LAST one below rev
         if best is None:
-            unused = [f for f in cand if not used[f] and dir_of(f) != rev]
-            if unused:
-                best = max(unused, key=functools.cmp_to_key(cmp))
-            else:
-                rev_edges = [f for f in cand if not used[f]]
-                best = rev_edges[0] if rev_edges else None
+            best = cand[-1]  # cyclic wrap: the largest angle overall
         return best
 
+    used = [False] * m
     rings = []
     order = sorted(range(m), key=lambda e: dir_edges[e][0])
     for e0 in order:
@@ -359,10 +458,10 @@ def _face_walk_min_cw(dir_edges: list[tuple]) -> list[list[tuple[int, int]]]:
         while guard:
             guard -= 1
             nxt = successor(e)
-            if nxt is None:
+            if nxt is None or nxt == e0:
                 break
-            if nxt == e0:
-                break
+            if used[nxt]:
+                break  # safety: malformed arrangement (should not occur)
             ring.append(dir_edges[nxt][0])
             used[nxt] = True
             e = nxt
@@ -609,7 +708,8 @@ def clip_paths_batch(
                 if below.any():
                     np.add.at(wind, k_rep[below], segs.subj[t[below]])
         inside = _inside_vec(wind, fill_rule) != invert
-        kept = np.where(on_b, boundary_included, inside)
+        # boundary_included picks which side owns the boundary (see clip_paths)
+        kept = np.where(on_b, boundary_included != invert, inside)
 
     # stitch per job (scalar tail, path order preserved) + un-offset
     out: list[list[np.ndarray]] = []
