@@ -72,7 +72,11 @@ def _on_polygon_boundary(segs: Segments, ax, ay, bx, by) -> bool:
 
 
 def _split_path_edges(
-    path: np.ndarray, segs: Segments, is_closed: bool, extra_edges: list | None = None
+    path: np.ndarray,
+    segs: Segments,
+    is_closed: bool,
+    extra_edges: list | None = None,
+    body_marks_out: set | None = None,
 ) -> list[tuple]:
     """Split a polyline's edges at every crossing with the polygon segments (and
     optionally `extra_edges` — other string edges, for the reference's combined
@@ -83,9 +87,10 @@ def _split_path_edges(
     n = len(pts)
     if n < 2:
         return []
+    n_body = len(segs)
     seg_rows = [
         (int(segs.ax[i]), int(segs.ay[i]), int(segs.bx[i]), int(segs.by[i]))
-        for i in range(len(segs))
+        for i in range(n_body)
     ]
     if extra_edges:
         seg_rows = seg_rows + [t for t in extra_edges]
@@ -99,13 +104,21 @@ def _split_path_edges(
         a, b = (p0, p1) if p0 < p1 else (p1, p0)
         me = (a[0], a[1], b[0], b[1])
         marks = set()
-        for t in seg_rows:
+        for k, t in enumerate(seg_rows):
             if t == me:
                 continue  # the edge itself (when extra_edges covers this path)
             pm, _ = cross_pair(me, t, 2)
             for which, x, y in pm:
                 if which == 0 and (x, y) != a and (x, y) != b:
                     marks.add((x, y))
+                    if body_marks_out is not None and k < n_body:
+                        body_marks_out.add((x, y))
+                elif which == 1 and body_marks_out is not None and k < n_body:
+                    # a mark ON the body segment (e.g. a crossing snap-rounded to
+                    # a string endpoint): the reference's shared pipeline splits
+                    # the body edge there — record it for boundary bending
+                    body_marks_out.add((x, y))
+
         ysign = 1 if b[1] >= a[1] else -1
         chain = sorted(marks, key=lambda q: (q[0], ysign * q[1]))
         run = [a] + chain + [b]
@@ -149,6 +162,7 @@ def clip_paths(
     invert: bool = False,
     boundary_included: bool = True,
     is_closed_paths: bool = False,
+    body_marks_out: set | None = None,
 ) -> list[np.ndarray]:
     """Clip MANY polylines by a polygon in one combined overlay (reference
     IntClip::clip_paths, iOverlay/src/string/clip.rs): string edges split at
@@ -171,7 +185,10 @@ def clip_paths(
             str_edges.append((a[0], a[1], b[0], b[1]))
     out: list[np.ndarray] = []
     for path in paths:
-        sub = _split_path_edges(path, segs, is_closed_paths, extra_edges=str_edges)
+        sub = _split_path_edges(
+            path, segs, is_closed_paths, extra_edges=str_edges,
+            body_marks_out=body_marks_out,
+        )
         kept = []
         for x0, y0, x1, y1 in sub:
             a, b = sorted([(x0, y0), (x1, y1)])
@@ -224,11 +241,17 @@ def slice_shape(
     min-CW face traversal then yields the sliced sub-regions."""
     graph = build_graph(body, [], fill_rule, options)
     # combined clip: walls split at body AND string-string crossings, matching
-    # the reference's single string overlay
+    # the reference's single string overlay; body_marks records which wall
+    # endpoints are (rounded) body-edge crossings — the only points that may
+    # bend a boundary edge
+    body_marks: set = set()
     wall_paths = clip_paths(
-        body, paths, fill_rule, invert=False, boundary_included=False
+        body, paths, fill_rule, invert=False, boundary_included=False,
+        body_marks_out=body_marks,
     )
-    return _slice_from_parts(graph.segments, graph.fills, wall_paths, options)
+    return _slice_from_parts(
+        graph.segments, graph.fills, wall_paths, options, body_marks
+    )
 
 
 def _slice_from_parts(
@@ -236,6 +259,7 @@ def _slice_from_parts(
     fills: np.ndarray,
     wall_paths: list[np.ndarray],
     options: OverlayOptions = OverlayOptions(),
+    body_marks: set | None = None,
 ) -> list[list[np.ndarray]]:
     """Face walk over (region boundary from segs+fills) + (interior wall paths):
     the shared tail of slice_shape and its batched variant."""
@@ -290,9 +314,13 @@ def _slice_from_parts(
         uniq_walls.append((p, q))
     walls = uniq_walls
     # split boundary edges at wall endpoints lying on them (T-junctions), so the
-    # face walk has nodes to turn into the walls
+    # face walk has nodes to turn into the walls. Snap-tolerant splitting applies
+    # ONLY to rounded body-crossing marks (clip reported them); other wall nodes
+    # split the boundary only when EXACTLY on it.
     nodes = {p for e in walls for p in e}
-    boundary = _split_at_points(boundary, nodes)
+    marks = set(body_marks or ()) & nodes
+    boundary = _split_at_points(boundary, marks, tolerant=True)
+    boundary = _split_at_points(boundary, nodes - marks, tolerant=False)
 
     dir_edges = list(boundary)
     for p, q in walls:
@@ -355,15 +383,20 @@ def _mutual_split(edges: list[tuple]) -> list[tuple]:
     return out
 
 
-def _split_at_points(dir_edges: list[tuple], points: set) -> list[tuple]:
-    """Split directed edges at any of `points` lying (near-)interior to them.
+def _split_at_points(
+    dir_edges: list[tuple], points: set, tolerant: bool = False
+) -> list[tuple]:
+    """Split directed edges at any of `points` lying interior to them.
 
-    Near = within the kernel's snap radius (dist^2 <= 2): clipped wall endpoints
-    are SNAP-ROUNDED intersection points that may sit up to ~1 unit off the body
-    edge — the reference's shared split fixpoint bends the body edge through the
-    rounded point, and the face walk needs the same T-junction node here
-    (exactly-on points are the d=0 case). Points are ordered along the edge by
-    their projection parameter."""
+    tolerant=True additionally accepts points within the kernel's snap radius
+    (dist^2 <= 2) of the edge: clipped wall endpoints at BODY crossings are
+    snap-rounded and may sit up to ~1 unit off the edge — the reference's shared
+    split fixpoint bends the body edge through the rounded point, and the face
+    walk needs the same T-junction node here. Non-mark points must lie exactly
+    on the edge (tolerance at small coordinate scales would bend boundaries
+    through unrelated nearby points). Points are ordered along the edge by their
+    projection parameter."""
+    cap = 2 if tolerant else 0
     out = []
     for p, q in dir_edges:
         ab = (q[0] - p[0], q[1] - p[1])
@@ -374,8 +407,7 @@ def _split_at_points(dir_edges: list[tuple], points: set) -> list[tuple]:
                 continue
             ap = (r[0] - p[0], r[1] - p[1])
             cr = ab[0] * ap[1] - ab[1] * ap[0]
-            # dist^2 to the LINE = cr^2 / den; accept within snap radius^2 = 2
-            if cr * cr > 2 * den:
+            if cr * cr > cap * den:
                 continue
             t_num = ab[0] * ap[0] + ab[1] * ap[1]
             if not (0 < t_num < den):
@@ -774,7 +806,22 @@ def slice_batch(
     walls_by_job: dict[int, list[np.ndarray]] = {j: [] for j in range(nj)}
     for j, sub_paths in zip(owner, clipped):
         walls_by_job[j].extend(sub_paths)
-    return [
-        _slice_from_parts(graphs[j][0], graphs[j][1], walls_by_job[j], options)
-        for j in range(nj)
-    ]
+    # body-crossing marks per job = wall points that are not original path
+    # vertices (the batched clip has no string-string splits, so every inserted
+    # point is a body crossing)
+    out = []
+    for j in range(nj):
+        orig = {
+            (int(p[0]), int(p[1]))
+            for path in jobs[j][1]
+            for p in np.asarray(path, dtype=np.int64).reshape(-1, 2)
+        }
+        marks = {
+            (int(p[0]), int(p[1]))
+            for w in walls_by_job[j]
+            for p in w
+        } - orig
+        out.append(
+            _slice_from_parts(graphs[j][0], graphs[j][1], walls_by_job[j], options, marks)
+        )
+    return out
