@@ -247,3 +247,53 @@ def test_dynamic_rotating_star_union(steps):
         total = sum(ring_area2(rg) for sh in shapes for rg in sh)
         # union area >= each input's area (property invariant)
         assert total >= abs(ring_area2(fixed))
+
+
+# ------------------------------------------------------------------- simplify
+# ports of iOverlay/tests/simplify_tests.rs
+
+
+def test_simplify_0_tiny_rect_collinear_preserved():
+    opts = OverlayOptions(preserve_input_collinear=True, preserve_output_collinear=True)
+    r = simplify(
+        [ring((10614, 4421), (10609, 4421), (10609, 4415), (10614, 4415))],
+        FillRule.NON_ZERO,
+        opts,
+    )
+    assert len(r) == 1 and len(r[0]) == 1
+
+
+def _sq(px, py):
+    return ring((-5 + px, -5 + py), (-5 + px, 5 + py), (5 + px, 5 + py), (5 + px, -5 + py))
+
+
+def test_simplify_1_ring_of_squares_makes_donut():
+    # 8 squares around a missing center: union = one shape with one hole
+    opts = OverlayOptions(preserve_input_collinear=True, preserve_output_collinear=True)
+    rings = [
+        _sq(-10, -10), _sq(-10, 0), _sq(-10, 10), _sq(0, -10),
+        _sq(0, 10), _sq(10, -10), _sq(10, 0), _sq(10, 10),
+    ]
+    r = simplify(rings, FillRule.NON_ZERO, opts)
+    assert len(r) == 1 and len(r[0]) == 2
+
+
+def test_simplify_3_self_crossing_bowtie():
+    r = overlay(
+        [ring((0, 0), (3, 1), (0, 3), (3, 0))], [], OverlayRule.SUBJECT, FillRule.NON_ZERO
+    )
+    assert len(r) == 1 and len(r[0]) == 1
+
+
+def test_simplify_4_touching_triangles_merge():
+    opts = OverlayOptions(preserve_output_collinear=True)
+    r = simplify(
+        [
+            ring((-5, 0), (0, 0), (0, 5)),
+            ring((-3, 2), (-1, 2), (-1, 1)),
+        ],
+        FillRule.NON_ZERO,
+        opts,
+    )
+    assert len(r) == 1 and len(r[0]) == 1
+    assert len(r[0][0]) == 7
