@@ -34,7 +34,8 @@ from .extract import extract_shapes
 from .fill import compute_fills
 from .overlay import build_graph
 from .segments import Segments, build_segments, sort_and_merge
-from .split import _apply_marks, cross_pair
+from .cross_vec import cross_pairs_batch
+from .split import _apply_marks
 
 Shapes = list[list[np.ndarray]]
 
@@ -129,19 +130,16 @@ def _split_batch(segs: Segments, max_rounds: int = 64) -> Segments:
         marks: list[tuple[int, int, int]] = []
         need_fix = False
         if len(ci):
-            iax = segs.ax
-            iay = segs.ay
-            ibx = segs.bx
-            iby = segs.by
-            for i, j in zip(ci.tolist(), cj.tolist()):
-                pm, rnd = cross_pair(
-                    (int(iax[i]), int(iay[i]), int(ibx[i]), int(iby[i])),
-                    (int(iax[j]), int(iay[j]), int(ibx[j]), int(iby[j])),
-                    radius,
-                )
-                need_fix = need_fix or rnd
-                for which, x, y in pm:
-                    marks.append((i if which == 0 else j, x, y))
+            # vectorized exact solver (A7) — per-pair python-int only on the rare
+            # i128-overflow rows inside cross_pairs_batch (VERDICT r02 Wrong #2)
+            pid, which, mx, my, rnd = cross_pairs_batch(
+                segs.ax[ci], segs.ay[ci], segs.bx[ci], segs.by[ci],
+                segs.ax[cj], segs.ay[cj], segs.bx[cj], segs.by[cj],
+                radius,
+            )
+            need_fix = bool(rnd.any())
+            seg_idx = np.where(which == 0, ci[pid], cj[pid])
+            marks = list(zip(seg_idx.tolist(), mx.tolist(), my.tolist()))
         if not marks:
             return segs
         segs = sort_and_merge(_apply_marks(segs, marks))

@@ -24,6 +24,8 @@ threshold are salted to a finer sub-grid before the pandas kernel (north rule).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -81,20 +83,31 @@ def _cell_cover_expr(level_col_free: int, grid_min: int, cell_size: int):
     )
 
 
+_PAIR_BLOCK = int(os.environ.get("SPARK_GRAFT_PAIR_BLOCK", "4000000"))
+
+
 def _find_marks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-cell exact pairwise crossing detection (A6/A7): vectorized candidate
     window + orientation-sign prefilter (kernel/batch.interacting_mask, incl. the
     collinear-overlap refinement that keeps same-line chains from flooding the
-    exact solver); the exact integer cross solver runs only on truly interacting
-    pairs. Emits split marks keyed by segment coordinates."""
-    from ..kernel.batch import interacting_mask
+    exact solver) + the vectorized exact cross solver (kernel/cross_vec).
+
+    Pair enumeration is CHUNKED (ADVICE r02 distributed.py:108): i-rows are
+    processed in blocks bounded by a max raw-pair budget, so a crossing-dense
+    cell near the hot threshold materializes at most ~_PAIR_BLOCK-row index
+    arrays at a time instead of one O(total-pairs) allocation. Coordinates at or
+    beyond the int64-product cap (2^30) take the scalar python-int solver.
+    Emits split marks keyed by segment coordinates."""
+    from ..kernel.batch import _COORD_CAP, interacting_mask
+    from ..kernel.cross_vec import cross_pairs_batch
 
     ax = pdf["ax"].to_numpy(np.int64)
     ay = pdf["ay"].to_numpy(np.int64)
     bx = pdf["bx"].to_numpy(np.int64)
     by = pdf["by"].to_numpy(np.int64)
     n = len(ax)
-    rows = []
+    rows = []  # scalar-path rows (wide coords only)
+    outs = []  # vectorized-path column blocks
     if n >= 2:
         order = np.lexsort((by, bx, ay, ax))
         ax, ay, bx, by = ax[order], ay[order], bx[order], by[order]
@@ -103,27 +116,72 @@ def _find_marks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         his = np.searchsorted(ax, bx, side="right")
         i0 = np.arange(n, dtype=np.int64)
         counts = np.maximum(his - i0 - 1, 0)
-        total = int(counts.sum())
-        if total:
-            i_rep = np.repeat(i0, counts)
-            cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
-            j = np.arange(total, dtype=np.int64) - cum[i_rep] + i_rep + 1
+        cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+        scalar = max(
+            abs(int(ax[0])), abs(int(ax[-1])),
+            abs(int(ay.min())), abs(int(ay.max())),
+            abs(int(bx.min())), abs(int(bx.max())),
+            abs(int(by.min())), abs(int(by.max())),
+        ) >= _COORD_CAP
+        start = 0
+        while start < n - 1:
+            stop = int(np.searchsorted(cum, cum[start] + _PAIR_BLOCK, side="left"))
+            stop = min(max(stop, start + 1), n)
+            c = counts[start:stop]
+            total = int(c.sum())
+            base = cum[start]
+            lo = start
+            start = stop
+            if total == 0:
+                continue
+            i_rep = np.repeat(np.arange(lo, stop, dtype=np.int64), c)
+            j = np.arange(total, dtype=np.int64) - (cum[i_rep] - base) + i_rep + 1
             m = (ymin[j] <= ymax[i_rep]) & (ymax[j] >= ymin[i_rep])
             i_rep, j = i_rep[m], j[m]
+            if len(i_rep) == 0:
+                continue
             # drop duplicate rows of the SAME segment (exploded into a cell twice)
-            same = (ax[i_rep] == ax[j]) & (ay[i_rep] == ay[j]) & (bx[i_rep] == bx[j]) & (by[i_rep] == by[j])
+            same = (
+                (ax[i_rep] == ax[j]) & (ay[i_rep] == ay[j])
+                & (bx[i_rep] == bx[j]) & (by[i_rep] == by[j])
+            )
             i_rep, j = i_rep[~same], j[~same]
             keep = interacting_mask(
                 ax[i_rep], ay[i_rep], bx[i_rep], by[i_rep], ax[j], ay[j], bx[j], by[j]
             )
             i_rep, j = i_rep[keep], j[keep]
-            for i, jj in zip(i_rep.tolist(), j.tolist()):
-                ti = (int(ax[i]), int(ay[i]), int(bx[i]), int(by[i]))
-                tj = (int(ax[jj]), int(ay[jj]), int(bx[jj]), int(by[jj]))
-                pm, rnd = cross_pair(ti, tj, 2)
-                for which, x, y in pm:
-                    t = ti if which == 0 else tj
-                    rows.append((t[0], t[1], t[2], t[3], x, y, rnd))
+            if len(i_rep) == 0:
+                continue
+            if scalar:
+                for i, jj in zip(i_rep.tolist(), j.tolist()):
+                    ti = (int(ax[i]), int(ay[i]), int(bx[i]), int(by[i]))
+                    tj = (int(ax[jj]), int(ay[jj]), int(bx[jj]), int(by[jj]))
+                    pm, rnd = cross_pair(ti, tj, 2)
+                    for which, x, y in pm:
+                        t = ti if which == 0 else tj
+                        rows.append((t[0], t[1], t[2], t[3], x, y, rnd))
+            else:
+                pid, which, mx, my, rnd = cross_pairs_batch(
+                    ax[i_rep], ay[i_rep], bx[i_rep], by[i_rep],
+                    ax[j], ay[j], bx[j], by[j], 2,
+                )
+                if len(pid):
+                    si = np.where(which == 0, i_rep[pid], j[pid])
+                    outs.append((ax[si], ay[si], bx[si], by[si], mx, my, rnd))
+    if outs:
+        cols = [np.concatenate([o[k] for o in outs]) for k in range(7)]
+        out = pd.DataFrame(
+            {
+                "ax": cols[0], "ay": cols[1], "bx": cols[2], "by": cols[3],
+                "px": cols[4], "py": cols[5], "is_round": cols[6],
+            }
+        )
+        if rows:
+            out = pd.concat(
+                [out, pd.DataFrame(rows, columns=list(out.columns))],
+                ignore_index=True,
+            )
+        return out
     return pd.DataFrame(
         rows, columns=["ax", "ay", "bx", "by", "px", "py", "is_round"]
     )

@@ -269,3 +269,39 @@ def test_lines_net_pair_guard_routes_to_distributed(spark):
     # distributed extractor ids are component-derived (small path uses 0..k);
     # n^2 separate squares -> n^2 distinct shape ids either way
     assert out["shape_id"].nunique() == n * n
+
+
+@pytest.mark.parametrize(
+    "off",
+    [
+        5_000_000,          # > 2^21: the round-2 packing would silently collide
+        (1 << 30) + 4096,   # >= _NODE_CAP: exact dense-id fallback path
+    ],
+)
+def test_distributed_extract_wide_coordinates(spark, off):
+    """Node-id guard (VERDICT r02 Wrong #3): distributed extraction must produce
+    correct components for coordinate grids beyond 2^21 — widened packing up to
+    2^30, exact dense ids beyond."""
+    from ioverlay_spark.options import FillRule, OverlayRule
+    from ioverlay_spark.operators.distributed import (
+        contours_to_segments_df,
+        distributed_overlay,
+    )
+
+    subj, clip = checkerboard(3)
+    subj = [[(x + off, y + off) for (x, y) in r] for r in subj]
+    clip = [[(x + off, y + off) for (x, y) in r] for r in clip]
+    df = spark.createDataFrame(
+        rings_to_contours_rows(subj, clip), ["role", "cid", "pts_x", "pts_y"]
+    )
+    out = distributed_overlay(
+        contours_to_segments_df(spark, df),
+        OverlayRule.XOR,
+        FillRule.EVEN_ODD,
+        force_distributed=True,
+    ).toPandas()
+    got = sorted(int(a) for a in out["area2"].tolist())
+    exp = kernel_reference(subj, clip, OverlayRule.XOR, FillRule.EVEN_ODD)
+    assert got == exp
+    hull_ids = set(out.loc[~out["is_hole"], "ring_id"])
+    assert set(out.loc[out["is_hole"], "shape_id"]).issubset(hull_ids)
