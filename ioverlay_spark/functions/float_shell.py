@@ -121,7 +121,14 @@ def float_stroke(
     from ..kernel.buffering import stroke
 
     pts = np.asarray(path, dtype=np.float64).reshape(-1, 2)
-    pad = width  # the stroke extends ~width/2 beyond the path bbox
+    # the stroke extends ~width/2 beyond the path bbox; a custom cap template
+    # (unit-space points scaled by r = width/2) may reach further, so pad by
+    # the template's max |coordinate| too (ADVICE r02 float_shell.py:130 —
+    # otherwise cap geometry can quantize outside the fitted extent)
+    pad = width
+    if custom_cap is not None and len(custom_cap):
+        tpl = np.asarray(custom_cap, dtype=np.float64).reshape(-1, 2)
+        pad = width * max(1.0, float(np.abs(tpl).max()))
     a = adapter or NumpyFloatAdapter.fit(
         [pts + (pad, pad), pts - (pad, pad)]
     )

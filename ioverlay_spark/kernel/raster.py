@@ -128,9 +128,9 @@ def rasterize_rects(
 
 def vectorize(mask: np.ndarray, origin: tuple[int, int], px: int) -> list[np.ndarray]:
     """Mask -> rectilinear rings (hulls CCW, holes CW), exact. Boundary edges are
-    emitted with the filled side on the LEFT, then stitched by the planar face walk."""
-    from .string_ops import _face_walk_min_cw
-
+    emitted with the filled side on the LEFT, then stitched by the planar face
+    walk (_face_walk_min_cw below — moved here from string_ops when slice moved
+    to the shared segment pipeline)."""
     m = np.asarray(mask, dtype=bool)
     h, w = m.shape
     ox, oy = origin
@@ -178,3 +178,80 @@ def _merge_collinear_rectilinear(ring: list[tuple[int, int]]) -> list[tuple[int,
         if (p1[0] - p0[0]) * (p2[1] - p1[1]) - (p1[1] - p0[1]) * (p2[0] - p1[0]) != 0:
             out.append(p1)
     return out
+
+
+def _face_walk_min_cw(dir_edges: list[tuple]) -> list[list[tuple[int, int]]]:
+    """Planar face traversal via the rotation system: the successor of a directed
+    edge is the outgoing edge at its head immediately CLOCKWISE of the reversed
+    incoming direction (exact integer angular order, no state) — faces are the
+    orbits of that permutation, traced with interior on the left; walls are
+    traversed once per side, and a dead-end spur bounces back on its twin."""
+    import functools
+
+    m = len(dir_edges)
+    if m == 0:
+        return []
+    out_at: dict[tuple[int, int], list[int]] = {}
+    for e, (p, q) in enumerate(dir_edges):
+        out_at.setdefault(p, []).append(e)
+
+    def dir_of(e):
+        p, q = dir_edges[e]
+        return (q[0] - p[0], q[1] - p[1])
+
+    def angle_less(u, v):
+        # strict CCW order from angle 0 (positive x axis, inclusive)
+        uh = 0 if (u[1] > 0 or (u[1] == 0 and u[0] > 0)) else 1
+        vh = 0 if (v[1] > 0 or (v[1] == 0 and v[0] > 0)) else 1
+        if uh != vh:
+            return uh < vh
+        return u[0] * v[1] - u[1] * v[0] > 0
+
+    def cmp(e1, e2):
+        d1, d2 = dir_of(e1), dir_of(e2)
+        if d1 == d2:
+            return 0
+        return -1 if angle_less(d1, d2) else 1
+
+    for p in out_at:
+        out_at[p].sort(key=functools.cmp_to_key(cmp))
+
+    def successor(e):
+        p, q = dir_edges[e]
+        cand = out_at.get(q)
+        if not cand:
+            return None
+        rev = (p[0] - q[0], p[1] - q[1])
+        # predecessor of rev in the CCW cyclic order = next edge clockwise of rev;
+        # an outgoing edge EQUAL to rev (the twin) is excluded from "less", so a
+        # spur endpoint wraps around to the twin only when nothing else exists
+        best = None
+        for f in cand:
+            if angle_less(dir_of(f), rev):
+                best = f  # list is CCW-sorted: keep the LAST one below rev
+        if best is None:
+            best = cand[-1]  # cyclic wrap: the largest angle overall
+        return best
+
+    used = [False] * m
+    rings = []
+    order = sorted(range(m), key=lambda e: dir_edges[e][0])
+    for e0 in order:
+        if used[e0]:
+            continue
+        ring = [dir_edges[e0][0]]
+        used[e0] = True
+        e = e0
+        guard = 2 * m + 4
+        while guard:
+            guard -= 1
+            nxt = successor(e)
+            if nxt is None or nxt == e0:
+                break
+            if used[nxt]:
+                break  # safety: malformed arrangement (should not occur)
+            ring.append(dir_edges[nxt][0])
+            used[nxt] = True
+            e = nxt
+        rings.append(ring)
+    return rings

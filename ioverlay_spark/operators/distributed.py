@@ -478,22 +478,40 @@ def compute_fills_df(
         edges = sorted(set(int(q) for q in qs))
     else:
         edges = []
-    edges_arr = "array(" + ", ".join(str(e) + "L" for e in edges) + ")" if edges else "array()"
 
-    # strip index of a doubled-x value: number of edges <= value
-    def strip_expr(val: str) -> str:
-        if not edges:
-            return "CAST(0 AS INT)"
-        return f"CAST(size(filter({edges_arr}, e -> e <= {val})) AS INT)"
+    if edges:
+        # strip index of a doubled-x value = number of edges <= value. Arrow-
+        # vectorized binary search (one batch transfer computes all three
+        # indices) replaces the former `size(filter(edges_arr, e -> e <= v))`
+        # expression — an interpreted higher-order lambda that evaluated
+        # O(n_strips) comparisons 3x per segment (VERDICT r02 Wrong #4; at 10^8
+        # segments x 3 x 1024 edges that's a real scale cost, searchsorted is
+        # log2(1024)=10).
+        edges_np = np.array(edges, dtype=np.int64)
 
-    mid = "(ax + bx)"
-    lo = "(2 * ax)"
-    hi = "(2 * bx)"
+        @F.pandas_udf("s_lo int, s_hi int, s_mid int")
+        def strips_of(axs: pd.Series, bxs: pd.Series) -> pd.DataFrame:
+            a = axs.to_numpy(np.int64)
+            b = bxs.to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "s_lo": np.searchsorted(edges_np, 2 * a, side="right"),
+                    "s_hi": np.searchsorted(edges_np, 2 * b, side="right"),
+                    "s_mid": np.searchsorted(edges_np, a + b, side="right"),
+                }
+            ).astype(np.int32)
+
+        segs = segs.withColumn("_s", strips_of("ax", "bx")).select(
+            "*", "_s.s_lo", "_s.s_hi", "_s.s_mid"
+        )
+    else:
+        segs = (
+            segs.withColumn("s_lo", F.lit(0))
+            .withColumn("s_hi", F.lit(0))
+            .withColumn("s_mid", F.lit(0))
+        )
     with_strips = (
-        segs.withColumn("s_lo", F.expr(strip_expr(lo)))
-        .withColumn("s_hi", F.expr(strip_expr(hi)))
-        .withColumn("s_mid", F.expr(strip_expr(mid)))
-        .withColumn("strip", F.explode(F.expr("sequence(s_lo, s_hi)")))
+        segs.withColumn("strip", F.explode(F.expr("sequence(s_lo, s_hi)")))
         .withColumn("is_home", F.col("strip") == F.col("s_mid"))
         .select("ax", "ay", "bx", "by", "subj", "clip", "strip", "is_home")
     )

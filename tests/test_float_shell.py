@@ -65,3 +65,20 @@ def test_float_stroke_butt_exact_rect():
     area = 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
     assert abs(area) == 20.0
     assert x.min() == 0.0 and x.max() == 10.0 and y.min() == -1.0 and y.max() == 1.0
+
+
+def test_float_stroke_custom_cap_template_beyond_pad():
+    # a spear cap reaching 5 half-widths past the endpoint: the fitted adapter
+    # must pad by the template magnitude, or cap points quantize outside the
+    # fitted extent (ADVICE r02 float_shell.py:130)
+    from ioverlay_spark.kernel.buffering import LineCap
+
+    path = np.array([[0.0, 0.0], [10.0, 0.0]])
+    tpl = np.array([[1.0, -1.0], [5.0, 0.0], [1.0, 1.0]])
+    shapes = float_stroke(path, 2.0, cap=LineCap.CUSTOM, custom_cap=tpl)
+    assert len(shapes) == 1
+    ring = shapes[0][0]
+    x = ring[:, 0]
+    # spear tips sit ~5 half-widths = 5.0 beyond each endpoint
+    assert x.max() > 14.0 and x.min() < -4.0
+    assert np.isfinite(ring).all()

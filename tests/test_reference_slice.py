@@ -83,7 +83,6 @@ def test_not_ideal_triangle():
     assert counts(r) == (2, [2, 1])
 
 
-@pytest.mark.xfail(reason="unit-scale snap-rounding parity: the reference's shared string overlay splits BODY edges inside its fixpoint; our clip+arrangement slice bends boundaries post-hoc and diverges on rounded crossings at coordinate scale <= ~4 (documented gap; shared-pipeline slice is the fix)", strict=True)
 def test_bridge_to_triangle_0():
     body = ring((-4, -4), (-4, 4), (4, 4), (4, -4))
     tri = [
@@ -108,7 +107,6 @@ def test_bridge_to_triangle_1():
     assert counts(r) == (2, [2, 1])
 
 
-@pytest.mark.xfail(reason="self-touching hole merge convention: a hole joined to a wall-enclosed region walks as one figure-8 orbit and decomposes into simple rings; the reference emits the merged self-touching ring structure", strict=True)
 def test_join_to_hole():
     shape = [
         ring((-3, -2), (-3, 2), (3, 2), (3, -2)),
@@ -130,7 +128,6 @@ def test_tiny_0():
     assert counts(r) == (2, [1, 1])
 
 
-@pytest.mark.xfail(reason="unit-scale snap-rounding parity: the reference's shared string overlay splits BODY edges inside its fixpoint; our clip+arrangement slice bends boundaries post-hoc and diverges on rounded crossings at coordinate scale <= ~4 (documented gap; shared-pipeline slice is the fix)", strict=True)
 def test_tiny_1():
     r = slice_shape(
         [ring((0, 2), (0, -1), (-1, -2))],
@@ -140,7 +137,6 @@ def test_tiny_1():
     assert counts(r) == (3, [1, 1, 1])
 
 
-@pytest.mark.xfail(reason="unit-scale snap-rounding parity: the reference's shared string overlay splits BODY edges inside its fixpoint; our clip+arrangement slice bends boundaries post-hoc and diverges on rounded crossings at coordinate scale <= ~4 (documented gap; shared-pipeline slice is the fix)", strict=True)
 def test_tiny_2():
     r = slice_shape(
         [ring((1, 4), (-4, 4), (-2, -4))],
@@ -165,7 +161,6 @@ def test_tiny_3():
     assert counts(r) == (2, [1, 1])
 
 
-@pytest.mark.xfail(reason="unit-scale snap-rounding parity: the reference's shared string overlay splits BODY edges inside its fixpoint; our clip+arrangement slice bends boundaries post-hoc and diverges on rounded crossings at coordinate scale <= ~4 (documented gap; shared-pipeline slice is the fix)", strict=True)
 def test_tiny_4():
     r = slice_shape(
         [ring((4, 0), (0, -3), (-1, 3), (3, 4))],
