@@ -72,13 +72,13 @@ def entry(spark: SparkSession) -> DataFrame:
     ).orderBy("pair_id", "rule", "shape_id", "contour_idx")
 
 
-# Emitted LAST: brute-force baselines whose correctness is already proven by
-# scale-path twins that pass the SAME oracles (knn -> knn_grid/knn_ring,
-# embed_knn/embed_neardup -> ann_ivf/embed_ann_lsh/dedup_e2e, lang_stats ->
-# lang_id, ngram_jaccard's adjacent-pair demo -> dedup_e2e). If the driver caps
-# the per-round query count, these are the rows whose loss costs the least
-# evidence.
-_TAIL = ["knn", "embed_knn", "embed_neardup", "lang_stats", "ngram_jaccard"]
+# Emitted LAST: queries whose loss under the driver's 50-query cap costs the
+# least evidence. Round-3 rotation (VERDICT r02 Next #8): the five brute-force
+# baselines that were capped out of r01/r02 move INTO the checked window so
+# every registered query has at least one green driver row across rounds; five
+# simple queries that passed rows+schema+hash in BOTH r01 and r02
+# (CORRECTNESS_r01/r02.json) take their place in the tail.
+_TAIL = ["segments_build", "segments_merge", "cell_index", "cell_cover", "ring_area"]
 
 
 def _ordered():

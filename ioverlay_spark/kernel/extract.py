@@ -374,7 +374,6 @@ def extract_shapes(
     fills: np.ndarray,
     rule: OverlayRule,
     options: OverlayOptions,
-    ogc: bool = False,
     boundary: np.ndarray | None = None,
     contours: list | None = None,
 ) -> list[list[np.ndarray]]:
@@ -391,29 +390,139 @@ def extract_shapes(
     holes: list[list[tuple[int, int]]] = []
     min_area2 = 2 * options.min_output_area
     for ring, hole in contours:
-        rings = [ring]
-        if ogc:
-            # S7 OGC post-pass (iOverlay/src/core/extract_ogc.rs:19-350): split any
-            # self-touching ring at repeated vertices into simple sub-rings. The walk
-            # already separates pinch points in most cases; this guarantees it.
-            from .decompose import decompose_ring
-
-            rings = decompose_ring(np.array(ring, dtype=np.int64))
-        for ring in rings:
-            if not options.preserve_output_collinear:
-                ring = simplify_ring(list(map(tuple, ring)))
-            if len(ring) < 3:
-                continue
-            a2 = ring_area2(ring)
-            if a2 == 0 or (min_area2 > 0 and abs(a2) < min_area2):
-                continue
-            if hole:
-                holes.append(ring)
-            else:
-                hulls.append(ring)
+        if not options.preserve_output_collinear:
+            ring = simplify_ring(list(map(tuple, ring)))
+        if len(ring) < 3:
+            continue
+        a2 = ring_area2(ring)
+        if a2 == 0 or (min_area2 > 0 and abs(a2) < min_area2):
+            continue
+        if hole:
+            holes.append(ring)
+        else:
+            hulls.append(ring)
 
     shapes = bind_holes(hulls, holes)
     return [[np.array(ring, dtype=np.int64) for ring in shape] for shape in shapes]
+
+
+class _StartPath:
+    """StartPathData (iOverlay/src/core/extract.rs:279-300)."""
+
+    __slots__ = ("begin", "node_id", "link_id", "last_node_id")
+
+    def __init__(self, g: "_LinkGraph", direction: bool, link_id: int):
+        self.link_id = link_id
+        if direction:
+            self.begin = g.b[link_id]
+            self.node_id = int(g.a_node[link_id])
+            self.last_node_id = int(g.b_node[link_id])
+        else:
+            self.begin = g.a[link_id]
+            self.node_id = int(g.b_node[link_id])
+            self.last_node_id = int(g.a_node[link_id])
+
+
+def _find_contour(g: "_LinkGraph", start: _StartPath, clockwise: bool,
+                  state: int, visited: np.ndarray) -> list[tuple[int, int]]:
+    """find_contour over a VisitState array (0 = unvisited, anything else =
+    visited); marks walked links with `state`
+    (iOverlay/src/core/extract.rs:189-221)."""
+    link = start.link_id
+    node = start.node_id
+    visited[link] = state
+    ring = [start.begin]
+    last_link = g.next_link(link, start.last_node_id, not clockwise, visited)
+    guard = 4 * g.m + 8
+    while link != last_link and guard > 0:
+        guard -= 1
+        link = g.next_link(link, node, clockwise, visited)
+        if link < 0:
+            break
+        ring.append(g.node_pt[node])
+        node = g.other(link, node)
+        visited[link] = state
+    return ring
+
+
+def _validate_ring(ring, options: OverlayOptions):
+    if not options.preserve_output_collinear:
+        ring = simplify_ring(list(map(tuple, ring)))
+    if len(ring) < 3:
+        return None
+    a2 = ring_area2(ring)
+    if a2 == 0 or (options.min_output_area > 0 and abs(a2) < 2 * options.min_output_area):
+        return None
+    return ring
+
+
+# VisitState codes (extract_ogc.rs VisitState)
+_UNVISITED, _SKIPPED, _HULL_V, _HOLE_V = 0, 1, 2, 3
+
+
+def _skip_contour(g, start: _StartPath, clockwise: bool, state: int, visited) -> None:
+    # (iOverlay/src/core/extract_ogc.rs:176-211)
+    link = start.link_id
+    node = start.node_id
+    visited[link] = state
+    last_link = g.next_link(link, start.last_node_id, not clockwise, visited)
+    guard = 4 * g.m + 8
+    while link != last_link and guard > 0:
+        guard -= 1
+        link = g.next_link(link, node, clockwise, visited)
+        if link < 0:
+            break
+        node = g.other(link, node)
+        visited[link] = state
+
+
+def _collect_shape(g, start: _StartPath, clockwise: bool, visited,
+                   options: OverlayOptions):
+    """collect_shape (iOverlay/src/core/extract_ogc.rs:213-349): walk the full
+    tour, then re-walk it in REVERSE rotation restricted to the tour's own edge
+    set — self-touching sub-loops escape the reverse walk and become this
+    shape's holes."""
+    link = start.link_id
+    node = start.node_id
+    contour_visited = np.full(g.m, _SKIPPED, dtype=np.int8)
+    visited[link] = _HULL_V
+    contour_visited[link] = _UNVISITED
+    end_link = link
+    original_len = 1
+    last_link = g.next_link(link, start.last_node_id, not clockwise, visited)
+    guard = 4 * g.m + 8
+    while link != last_link and guard > 0:
+        guard -= 1
+        link = g.next_link(link, node, clockwise, visited)
+        if link < 0:
+            break
+        node = g.other(link, node)
+        end_link = max(end_link, link)
+        contour_visited[link] = _UNVISITED
+        visited[link] = _HULL_V
+        original_len += 1
+
+    ring = _find_contour(g, start, not clockwise, _HULL_V, contour_visited)
+    outer = _validate_ring(ring, options)
+    shape = [outer] if outer is not None else None
+
+    if len(ring) < original_len:
+        # the tour self-touches: leftover edges are holes of this shape
+        li = start.link_id
+        while li <= end_link:
+            if contour_visited[li]:
+                li += 1
+                continue
+            top = g.left_top_link(li, contour_visited)
+            hstart = _StartPath(g, clockwise, top)
+            hring = _find_contour(g, hstart, clockwise, _HOLE_V, contour_visited)
+            if shape is not None:
+                hr = _validate_ring(hring, options)
+                if hr is None:
+                    li += 1
+                    continue
+                shape.append(hr)
+    return shape
 
 
 def extract_shapes_ogc(
@@ -422,9 +531,61 @@ def extract_shapes_ogc(
     rule: OverlayRule,
     options: OverlayOptions,
 ) -> list[list[np.ndarray]]:
-    """S7 OGC-valid extraction (connected interiors; pinch-point shapes split).
+    """S7 OGC-valid extraction (ISO 19125-1 connected interiors): hulls collect
+    in a first pass with the main-direction-opposed traversal (pinch-point
+    shapes split; self-touch loops become per-shape holes), hole contours walk
+    in a second pass where touching holes MERGE through pinch vertices, then
+    bind to hulls (reference extract_ogc, iOverlay/src/core/extract_ogc.rs:19-174)."""
+    is_cw = options.output_direction == ContourDirection.CLOCKWISE
+    mask = boundary_mask(fills, rule)
+    idx = np.flatnonzero(mask)
+    if len(idx) == 0:
+        return []
+    pts_a = list(zip(segs.ax[idx].tolist(), segs.ay[idx].tolist()))
+    pts_b = list(zip(segs.bx[idx].tolist(), segs.by[idx].tolist()))
+    g = _LinkGraph(pts_a, pts_b, fills[idx].tolist())
 
-    The engine's walk picks the tightest turn at cross nodes, so output is already
-    OGC-shaped for plain pinches; the decompose post-pass enforces simple rings in
-    all remaining cases (reference extract_ogc, iOverlay/src/core/extract_ogc.rs:19-350)."""
-    return extract_shapes(segs, fills, rule, options, ogc=True)
+    visited = np.zeros(g.m, dtype=np.int8)
+    shapes: list[list] = []
+    any_holes = False
+    trav = not is_cw
+    li = 0
+    while li < g.m:
+        if visited[li]:
+            li += 1
+            continue
+        top = g.left_top_link(li, visited)
+        hole = is_fill_top(g.fill[top], rule)
+        direction = hole == is_cw
+        start = _StartPath(g, direction, top)
+        if hole:
+            _skip_contour(g, start, trav, _HOLE_V, visited)
+            any_holes = True
+            continue
+        shape = _collect_shape(g, start, trav, visited, options)
+        if shape is not None:
+            shapes.append(shape)
+        else:
+            li += 1
+
+    holes: list[list] = []
+    if any_holes:
+        visited = np.where(visited == _HOLE_V, _UNVISITED, _SKIPPED).astype(np.int8)
+        li = 0
+        while li < g.m:
+            if visited[li]:
+                li += 1
+                continue
+            top = g.left_top_link(li, visited)
+            start = _StartPath(g, is_cw, top)
+            ring = _find_contour(g, start, is_cw, _HULL_V, visited)
+            vr = _validate_ring(ring, options)
+            if vr is None:
+                li += 1
+                continue
+            holes.append(vr)
+
+    if holes:
+        bound = bind_holes([s[0] for s in shapes], holes)
+        shapes = [shapes[i] + bound[i][1:] for i in range(len(shapes))]
+    return [[np.array(r, dtype=np.int64) for r in shape] for shape in shapes]
