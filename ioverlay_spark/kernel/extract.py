@@ -589,3 +589,114 @@ def extract_shapes_ogc(
         bound = bind_holes([s[0] for s in shapes], holes)
         shapes = [shapes[i] + bound[i][1:] for i in range(len(shapes))]
     return [[np.array(r, dtype=np.int64) for r in shape] for shape in shapes]
+
+
+def walk_vectors(
+    segs: Segments,
+    fills: np.ndarray,
+    rule: OverlayRule,
+    clockwise_output: bool = False,
+) -> list[tuple[list[tuple[int, int, int, int, int]], bool]]:
+    """S8 edge-level walk: like walk_contours, but each traversed link emits a
+    DIRECTED edge (ax, ay, bx, by, fill) carrying its 4-bit SegmentFill
+    (reference build_shape_vectors, iOverlay/src/core/overlay.rs:260-298 +
+    vector/extract.rs). Edge k of a ring spans ring[k] -> ring[k+1] via the
+    k-th link selected by the walk; the fill is the link's SideFill
+    (iOverlay/src/vector/edge.rs:13-31): the raw SegmentFill when the edge is
+    traversed in the stored a<b direction (TOP = left), with left/right bits
+    swapped when traversed reversed. Returns [(edges, is_hole)]."""
+
+    def side(fill: int, forward: bool) -> int:
+        if forward:
+            return fill
+        return (((fill & 1) << 1) | ((fill & 2) >> 1)
+                | ((fill & 4) << 1) | ((fill & 8) >> 1))
+    mask = boundary_mask(fills, rule)
+    idx = np.flatnonzero(mask)
+    if len(idx) == 0:
+        return []
+    pts_a = list(zip(segs.ax[idx].tolist(), segs.ay[idx].tolist()))
+    pts_b = list(zip(segs.bx[idx].tolist(), segs.by[idx].tolist()))
+    bfills = fills[idx].tolist()
+    g = _LinkGraph(pts_a, pts_b, bfills)
+
+    visited = np.zeros(g.m, dtype=bool)
+    out = []
+    for start in range(g.m):
+        if visited[start]:
+            continue
+        top = g.left_top_link(start, visited)
+        hole = is_fill_top(g.fill[top], rule)
+        d = hole == clockwise_output
+        if d:
+            pts = [g.b[top]]
+            node = int(g.a_node[top])
+            last_node = int(g.b_node[top])
+        else:
+            pts = [g.a[top]]
+            node = int(g.b_node[top])
+            last_node = int(g.a_node[top])
+        visited[top] = True
+        lfills = [side(int(g.fill[top]), not d)]
+        last_link = g.next_link(top, last_node, not d, visited)
+        link = top
+        if last_link < 0:
+            out.append(([], hole))
+            continue
+        guard = 4 * g.m + 8
+        while link != last_link and guard > 0:
+            guard -= 1
+            link = g.next_link(link, node, d, visited)
+            if link < 0:
+                break
+            pts.append(g.node_pt[node])
+            lfills.append(side(int(g.fill[link]), int(g.a_node[link]) == node))
+            node = g.other(link, node)
+            visited[link] = True
+        n = len(pts)
+        edges = [
+            (pts[k][0], pts[k][1], pts[(k + 1) % n][0], pts[(k + 1) % n][1], lfills[k])
+            for k in range(n)
+        ]
+        out.append((edges, hole))
+    return out
+
+
+def build_shape_vectors(
+    subj: list,
+    clip: list,
+    fill_rule,
+    rule: OverlayRule,
+    options: OverlayOptions | None = None,
+) -> list[list[list[tuple[int, int, int, int, int]]]]:
+    """One-shot S8 vector output: shapes -> contours -> directed (a, b, fill)
+    edges (reference Overlay::build_shape_vectors). Holes bind to hulls by the
+    same anchor rules as shape extraction."""
+    from .overlay import build_graph
+
+    options = options or OverlayOptions()
+    g = build_graph(subj, clip, fill_rule, options)
+    walked = walk_vectors(g.segments, g.fills, rule,
+                          options.output_direction == ContourDirection.CLOCKWISE)
+    hulls, holes = [], []
+    for edges, hole in walked:
+        if len(edges) < 3:
+            continue
+        ring = [(e[0], e[1]) for e in edges]
+        if ring_area2(ring) == 0:
+            continue
+        (holes if hole else hulls).append(edges)
+    shapes = [[h] for h in hulls]
+    if holes:
+        bound = bind_holes([[(e[0], e[1]) for e in h] for h in hulls],
+                           [[(e[0], e[1]) for e in h] for h in holes])
+        ring_to_hole = { }
+        for hi, h in enumerate(holes):
+            key = tuple((e[0], e[1]) for e in h)
+            ring_to_hole[key] = hi
+        for si, sh in enumerate(bound):
+            for extra in sh[1:]:
+                hi = ring_to_hole.get(tuple(extra))
+                if hi is not None:
+                    shapes[si].append(holes[hi])
+    return shapes

@@ -427,7 +427,7 @@ FILL_SCHEMA = StructType(
 
 
 def _strip_fill_kernel(fill_rule: FillRule):
-    from ..kernel.fill import compute_fills
+    from ..kernel.fill import compute_fills_windowed
     from ..kernel.segments import Segments
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -444,7 +444,7 @@ def _strip_fill_kernel(fill_rule: FillRule):
             pdf["subj"].to_numpy(),
             pdf["clip"].to_numpy(),
         )
-        fills = compute_fills(segs, fill_rule)
+        fills = compute_fills_windowed(segs, fill_rule)
         mask = pdf["is_home"].to_numpy()
         out = pdf.loc[mask, ["ax", "ay", "bx", "by", "subj", "clip"]].copy()
         out["fill"] = fills[mask].astype("int32")
@@ -532,7 +532,7 @@ def _local_overlay_kernel(rule: OverlayRule, fill_rule: FillRule, options: Overl
     int64-safe range."""
     from ..kernel.batch import _COORD_CAP, _fills_batch, _split_batch
     from ..kernel.extract import extract_shapes, ring_area2
-    from ..kernel.fill import compute_fills as kernel_fills
+    from ..kernel.fill import compute_fills_windowed as kernel_fills
     from ..kernel.segments import Segments
     from ..kernel.split import split_segments as kernel_split
 
@@ -551,9 +551,8 @@ def _local_overlay_kernel(rule: OverlayRule, fill_rule: FillRule, options: Overl
             segs = _split_batch(segs)  # vectorized prefilter + exact solver
         else:
             segs = kernel_split(segs)  # python-int path for huge coordinates
-        # fill: the chunked midpoint ray-cast (O(n*m) bounded by the dispatch's
-        # post-split size estimate; _fills_batch's single-tile windows would
-        # materialize the full pair matrix)
+        # fill: the x-windowed midpoint ray-cast (O(n * local density) — exact,
+        # differential-tested against the dense kernel)
         fills = kernel_fills(segs, fill_rule)
         shapes = extract_shapes(segs, fills, rule, options)
         rows = []

@@ -59,28 +59,33 @@ def boundary_segments_df(fills: DataFrame, rule: OverlayRule) -> DataFrame:
 
 
 def _union_find_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Single-task DSU over one edge batch: (node, component=min id of component)."""
-    parent: dict[int, int] = {}
+    """Single-task connected components over one edge batch:
+    (node, component = min node id of the component).
 
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
-        ru, rv = find(int(u)), find(int(v))
-        if ru != rv:
-            # union by smaller root id -> the root IS the min of the component
-            if ru < rv:
-                parent[rv] = ru
-            else:
-                parent[ru] = rv
-    nodes = set(map(int, pdf["u"].to_numpy())) | set(map(int, pdf["v"].to_numpy()))
-    rows = [(n, find(n)) for n in nodes]
-    return pd.DataFrame(rows, columns=["node", "component"])
+    Vectorized min-label propagation with pointer jumping (numpy, O(E) per
+    round, O(log diameter) rounds) — the python-dict DSU this replaces was the
+    extract stage's single-threaded bottleneck at ~1M edges (lines_net audit,
+    BENCH.md). Labels are indices into the SORTED unique node array, so the
+    converged minimum label is exactly the minimum node id."""
+    u = pdf["u"].to_numpy(np.int64)
+    v = pdf["v"].to_numpy(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(parent[ui], parent[vi])
+        new = parent.copy()
+        np.minimum.at(new, ui, m)
+        np.minimum.at(new, vi, m)
+        while True:
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, parent):
+            break
+        parent = new
+    return pd.DataFrame({"node": nodes, "component": nodes[parent]})
 
 
 def connected_components(

@@ -109,3 +109,35 @@ class TestBigCoordinates:
         s = 1 << 29
         res = overlay([sq(-s, -s, 2 * s)], [sq(0, 0, 2 * s)], OverlayRule.INTERSECT)
         assert shapes_area2(res) == 2 * s * s
+
+
+def test_windowed_fills_match_dense():
+    """compute_fills_windowed must be bit-identical to compute_fills on
+    intersection-free sets (random stars, all four fill rules)."""
+    import numpy as np
+
+    from ioverlay_spark.kernel.fill import compute_fills, compute_fills_windowed
+    from ioverlay_spark.kernel.segments import Segments, build_segments, sort_and_merge
+    from ioverlay_spark.kernel.split import split_segments
+    from ioverlay_spark.options import FillRule
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        rings = [
+            rng.integers(-200, 200, size=(int(rng.integers(3, 10)), 2))
+            for _ in range(int(rng.integers(1, 6)))
+        ]
+        segs = split_segments(
+            sort_and_merge(
+                Segments.concat(
+                    [
+                        build_segments([np.asarray(r, dtype=np.int64) for r in rings[:2]], True),
+                        build_segments([np.asarray(r, dtype=np.int64) for r in rings[2:]], False),
+                    ]
+                )
+            )
+        )
+        for fr in FillRule:
+            assert np.array_equal(
+                compute_fills(segs, fr), compute_fills_windowed(segs, fr)
+            )
