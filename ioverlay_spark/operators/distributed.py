@@ -397,6 +397,12 @@ def split_segments_df(
         marks = marks.localCheckpoint(eager=True)
         if marks.isEmpty():
             break
+        # scalar-kernel termination rule (split.split_segments `need_fix`):
+        # marks that are ALL exact split segments at points exactly ON them, so
+        # no new crossings can appear — apply and stop without a verification
+        # round (for crossing-dense inputs that round is a full cover+kernel
+        # pass over the whole post-split set)
+        need_fix = not marks.where(F.col("is_round")).isEmpty()
         segs = apply_marks_df(segs, marks, extra_aggs)
         if checkpoint_dir is not None:
             path = f"{checkpoint_dir}/split_r{rnd}"
@@ -405,6 +411,8 @@ def split_segments_df(
         else:
             segs = segs.localCheckpoint(eager=True)
         last_n = None  # marks were applied after the count; stale
+        if not need_fix:
+            break
     segs._ioverlay_n_segments = last_n  # fills sizing hint (skips a count job)
     return segs
 
