@@ -78,7 +78,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # every registered query has at least one green driver row across rounds; five
 # simple queries that passed rows+schema+hash in BOTH r01 and r02
 # (CORRECTNESS_r01/r02.json) take their place in the tail.
-_TAIL = ["segments_build", "segments_merge", "cell_index", "cell_cover", "ring_area"]
+# (57 registered, cap 50 -> 7 tail rows, all of them green in r01 AND r02)
+_TAIL = [
+    "segments_build", "segments_merge", "cell_index", "cell_cover",
+    "ring_area", "tile_assign", "relate_rects",
+]
 
 
 def _ordered():

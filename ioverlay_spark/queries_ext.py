@@ -1232,3 +1232,72 @@ def _q_relate_float():
     # quantization with scale 64 on 1/64-grid floats reproduces the original ints
     # exactly -> identical relations to the integer predicate suite
     return QuerySpec(spark=spark_fn, oracle=REGISTRY["relate_rects"].oracle)
+
+
+@_register("repetition_score")
+def _q_repetition_score():
+    """Per-document bigram repetition (training-data quality filter): documents
+    whose adjacent-token bigrams repeat heavily are boilerplate/spam candidates.
+    Exact integer counts; fully JVM-side in Spark (no UDF). DuckDB lists are
+    1-based, hence the off-by-one in the oracle's bigram builder."""
+
+    def shared_sql(dialect: str, docs: str) -> str:
+        if dialect == "spark":
+            bi = ("transform(sequence(0, size(t) - 2),"
+                  " i -> concat(t[i], ' ', t[i + 1]))")
+            size, dis = "size", "array_distinct"
+        else:
+            bi = ("list_transform(range(1, len(t)),"
+                  " i -> concat(t[i], ' ', t[i + 1]))")
+            size, dis = "len", "list_distinct"
+        return f"""
+WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_toks(dialect)} AS t FROM {docs}),
+bi AS (SELECT doc_id, {bi} AS b FROM toks WHERE {size}(t) >= 2)
+SELECT doc_id,
+       CAST({size}(b) AS BIGINT) AS n_bigrams,
+       CAST({size}({dis}(b)) AS BIGINT) AS n_distinct_bigrams,
+       CAST({size}(b) - {size}({dis}(b)) AS BIGINT) AS n_repeated
+FROM bi
+"""
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.sql(shared_sql("spark", _tbl("spark", sf_dir, "documents")))
+
+    return QuerySpec(spark=spark_fn, oracle=shared_sql("duckdb", "documents"))
+
+
+@_register("bigram_topk")
+def _q_bigram_topk():
+    """Global corpus n-gram statistics: top-25 bigrams by frequency with
+    deterministic tie order (count desc, bigram asc) — the classic pretraining
+    corpus-analysis aggregation. Spark plan: map-side bigram explode ->
+    partial+final hash agg -> single small top-k sort; at 100 TB the explode
+    and partial agg stay map-local, and only per-bigram partial counts
+    shuffle."""
+
+    def shared_sql(dialect: str, docs: str) -> str:
+        if dialect == "spark":
+            bi = ("transform(sequence(0, size(t) - 2),"
+                  " i -> concat(t[i], ' ', t[i + 1]))")
+            size = "size"
+            un = "explode(b)"
+        else:
+            bi = ("list_transform(range(1, len(t)),"
+                  " i -> concat(t[i], ' ', t[i + 1]))")
+            size = "len"
+            un = "unnest(b)"
+        return f"""
+WITH toks AS (SELECT {_toks(dialect)} AS t FROM {docs}),
+bi AS (SELECT {bi} AS b FROM toks WHERE {size}(t) >= 2),
+flat AS (SELECT {un} AS bigram FROM bi)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM flat
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 25
+"""
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.sql(shared_sql("spark", _tbl("spark", sf_dir, "documents")))
+
+    return QuerySpec(spark=spark_fn, oracle=shared_sql("duckdb", "documents"))
