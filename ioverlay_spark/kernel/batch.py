@@ -706,11 +706,20 @@ def overlay_batch(
                 segs.clip[lo:hi],
             )
             fills = all_fills[lo:hi]
+            # ONE link graph per tile, shared by every rule's walk (dead links
+            # pre-visited per rule) — the graph build was the single biggest
+            # per-job python cost at 3 rules/job
+            from .extract import _LinkGraph
+
+            pts_a = list(zip(sub.ax.tolist(), sub.ay.tolist()))
+            pts_b = list(zip(sub.bx.tolist(), sub.by.tolist()))
+            g = _LinkGraph(pts_a, pts_b, fills.tolist())
         for rule in rules:
             if fast_mask[rule][slot]:
                 results[slot][rule] = fast_shapes[rule].get(slot, [])
             else:
                 results[slot][rule] = extract_shapes(
-                    sub, fills, rule, options, boundary=rule_masks[rule][lo:hi]
+                    sub, fills, rule, options,
+                    boundary=rule_masks[rule][lo:hi], graph=g,
                 )
     return results

@@ -188,21 +188,33 @@ def walk_contours(
     rule: OverlayRule,
     clockwise_output: bool,
     boundary: np.ndarray | None = None,
+    graph: "_LinkGraph | None" = None,
 ) -> list[tuple[list[tuple[int, int]], bool]]:
     """Extract all contours for a rule. Returns [(ring_points, is_hole)].
 
     boundary: optional precomputed boundary_mask(fills, rule) — the batch kernel
-    computes it once per rule over a whole batch and slices per tile."""
-    mask = boundary_mask(fills, rule) if boundary is None else boundary
-    idx = np.flatnonzero(mask)
-    if len(idx) == 0:
-        return []
-    pts_a = list(zip(segs.ax[idx].tolist(), segs.ay[idx].tolist()))
-    pts_b = list(zip(segs.bx[idx].tolist(), segs.by[idx].tolist()))
-    bfills = fills[idx].tolist()
-    g = _LinkGraph(pts_a, pts_b, bfills)
+    computes it once per rule over a whole batch and slices per tile.
 
-    visited = np.zeros(g.m, dtype=bool)
+    graph: optional prebuilt _LinkGraph over ALL of segs' links (the batch
+    kernel builds ONE per tile and reuses it for every rule): non-boundary
+    links start pre-visited, which yields identical walks — candidate lists
+    are filtered by `visited`, and the relative order of the surviving links
+    matches the boundary-subset graph exactly."""
+    mask = boundary_mask(fills, rule) if boundary is None else boundary
+    if graph is not None:
+        if not mask.any():
+            return []
+        g = graph
+        visited = ~np.asarray(mask, dtype=bool)
+    else:
+        idx = np.flatnonzero(mask)
+        if len(idx) == 0:
+            return []
+        pts_a = list(zip(segs.ax[idx].tolist(), segs.ay[idx].tolist()))
+        pts_b = list(zip(segs.bx[idx].tolist(), segs.by[idx].tolist()))
+        bfills = fills[idx].tolist()
+        g = _LinkGraph(pts_a, pts_b, bfills)
+        visited = np.zeros(g.m, dtype=bool)
     out: list[tuple[list[tuple[int, int]], bool]] = []
 
     for start in range(g.m):
@@ -376,6 +388,7 @@ def extract_shapes(
     options: OverlayOptions,
     boundary: np.ndarray | None = None,
     contours: list | None = None,
+    graph: "_LinkGraph | None" = None,
 ) -> list[list[np.ndarray]]:
     """Full extraction: boundary filter -> reference walk -> validate -> hole binding.
 
@@ -384,7 +397,7 @@ def extract_shapes(
     vectorized degree-2 walk) — must equal walk_contours' output exactly."""
     clockwise_output = options.output_direction == ContourDirection.CLOCKWISE
     if contours is None:
-        contours = walk_contours(segs, fills, rule, clockwise_output, boundary)
+        contours = walk_contours(segs, fills, rule, clockwise_output, boundary, graph)
 
     hulls: list[list[tuple[int, int]]] = []
     holes: list[list[tuple[int, int]]] = []
