@@ -143,3 +143,77 @@ def float_stroke(
         custom_cap=custom_cap,
     )
     return [[a.dequantize(r) for r in shape] for shape in shapes]
+
+
+def _clean_contour(pts: np.ndarray) -> np.ndarray | None:
+    """Reference clean_result pass (FloatOverlay::overlay,
+    iOverlay/src/float/overlay.rs:352-366): after mapping back to float,
+    distinct grid points can collapse onto one float value (especially f32) —
+    drop duplicate and collinear-spike points in FLOAT space, and drop the
+    contour entirely if fewer than 3 survive."""
+    p = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    changed = True
+    while changed and len(p) >= 3:
+        changed = False
+        keep = np.ones(len(p), dtype=bool)
+        prv = np.roll(p, 1, axis=0)
+        nxt = np.roll(p, -1, axis=0)
+        dup = np.all(p == prv, axis=1)
+        cross = (p[:, 0] - prv[:, 0]) * (nxt[:, 1] - prv[:, 1]) - (
+            p[:, 1] - prv[:, 1]
+        ) * (nxt[:, 0] - prv[:, 0])
+        degen = dup | (cross == 0.0)
+        if degen.any():
+            keep[np.flatnonzero(degen)[0]] = False
+            p = p[keep]
+            changed = True
+    return p if len(p) >= 3 else None
+
+
+def float_overlay(
+    subj: list[np.ndarray],
+    clip: list[np.ndarray],
+    rule,
+    fill_rule: FillRule = FillRule.NON_ZERO,
+    options: OverlayOptions = OverlayOptions(),
+    adapter: NumpyFloatAdapter | None = None,
+    clean_result: bool = True,
+    dtype=np.float32,
+) -> list[list[np.ndarray]]:
+    """Reference FloatOverlay (iOverlay/src/float/overlay.rs:96-372): fit an
+    adapter over both inputs, run the integer kernel, dequantize, then (by
+    default, matching OverlayOptions::default for f32/i32 where
+    clean_result = F::BITS <= I::BITS) clean float-space precision artifacts.
+
+    dtype: the float type of the caller's coordinates — dequantized points are
+    collapsed at THIS precision before cleaning, mirroring the reference's
+    f32 round-trip."""
+    from ..kernel.overlay import overlay
+
+    subj = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in subj]
+    clip = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in clip]
+    a = adapter or NumpyFloatAdapter.fit(list(subj) + list(clip))
+    shapes = overlay(
+        [a.quantize(r) for r in subj],
+        [a.quantize(r) for r in clip],
+        rule,
+        fill_rule,
+        options,
+    )
+    out = [[a.dequantize(r).astype(dtype) for r in shape] for shape in shapes]
+    if not clean_result:
+        return out
+    cleaned: list[list[np.ndarray]] = []
+    for shape in out:
+        rings = []
+        for i, r in enumerate(shape):
+            c = _clean_contour(r)
+            if c is None:
+                if i == 0:
+                    rings = None
+                    break
+                continue
+            rings.append(c.astype(dtype))
+        if rings:
+            cleaned.append(rings)
+    return cleaned
