@@ -97,10 +97,13 @@ class _LinkGraph:
         if m < 256:
             # tiny graph (the batched-kernel common case): dict insertion beats
             # the np.unique/argsort constant costs by a wide margin
+            # a_node/b_node/visited stay PLAIN PYTHON lists throughout the walk:
+            # every read in the walk loop is a scalar access from Python, where
+            # numpy scalar indexing costs ~10x a list index
             node_ids: dict[tuple[int, int], int] = {}
             incid: list[list[int]] = []
-            self.a_node = np.empty(m, dtype=np.int64)
-            self.b_node = np.empty(m, dtype=np.int64)
+            self.a_node = [0] * m
+            self.b_node = [0] * m
             for e in range(m):
                 for end, arr in ((pts_a[e], self.a_node), (pts_b[e], self.b_node)):
                     nid = node_ids.get(end)
@@ -127,8 +130,8 @@ class _LinkGraph:
         rank = np.empty_like(order)
         rank[order] = np.arange(len(order))
         node = rank[inv]
-        self.a_node = node[0::2]
-        self.b_node = node[1::2]
+        self.a_node = node[0::2].tolist()
+        self.b_node = node[1::2].tolist()
         n_nodes = len(uniq)
         link_of = np.repeat(np.arange(m, dtype=np.int64), 2)
         grp = np.argsort(node, kind="stable")
@@ -145,7 +148,18 @@ class _LinkGraph:
 
     def next_link(self, link: int, node: int, clockwise: bool, visited) -> int:
         """Reference next_link (iOverlay/src/core/extract.rs:479-583)."""
-        cands = [i for i in self.incid[node] if not visited[i]]
+        inc = self.incid[node]
+        if len(inc) == 2:
+            # degree-2 node (the overwhelming case): the incoming link is
+            # already visited, so at most one candidate remains
+            i0, i1 = inc
+            if visited[i0]:
+                return -1 if visited[i1] else i1
+            if visited[i1]:
+                return i0
+            cands = inc
+        else:
+            cands = [i for i in inc if not visited[i]]
         if not cands:
             return -1
         if len(cands) == 1:
@@ -205,7 +219,7 @@ def walk_contours(
         if not mask.any():
             return []
         g = graph
-        visited = ~np.asarray(mask, dtype=bool)
+        visited = np.logical_not(mask).tolist()
     else:
         idx = np.flatnonzero(mask)
         if len(idx) == 0:
@@ -214,7 +228,7 @@ def walk_contours(
         pts_b = list(zip(segs.bx[idx].tolist(), segs.by[idx].tolist()))
         bfills = fills[idx].tolist()
         g = _LinkGraph(pts_a, pts_b, bfills)
-        visited = np.zeros(g.m, dtype=bool)
+        visited = [False] * g.m
     out: list[tuple[list[tuple[int, int]], bool]] = []
 
     for start in range(g.m):
@@ -241,13 +255,28 @@ def walk_contours(
             out.append((ring, hole))
             continue
         guard = 4 * g.m + 8
+        # hot loop: degree-2 advance inlined (the incoming link is visited, so
+        # exactly one candidate remains) — falls back to next_link for true
+        # junction nodes
+        incid, a_node, b_node, node_pt = g.incid, g.a_node, g.b_node, g.node_pt
         while link != last_link and guard > 0:
             guard -= 1
-            link = g.next_link(link, node, d, visited)
-            if link < 0:
+            inc = incid[node]
+            if len(inc) == 2:
+                i0, i1 = inc
+                if visited[i0]:
+                    nxt = -1 if visited[i1] else i1
+                elif visited[i1]:
+                    nxt = i0
+                else:
+                    nxt = g.next_link(link, node, d, visited)
+            else:
+                nxt = g.next_link(link, node, d, visited)
+            if nxt < 0:
                 break
-            ring.append(g.node_pt[node])
-            node = g.other(link, node)
+            link = nxt
+            ring.append(node_pt[node])
+            node = b_node[link] if a_node[link] == node else a_node[link]
             visited[link] = True
         out.append((ring, hole))
     return out
@@ -262,6 +291,30 @@ def ring_area2(pts) -> int:
         x1, y1 = int(pts[(i + 1) % n][0]), int(pts[(i + 1) % n][1])
         s += x0 * y1 - x1 * y0
     return s
+
+
+def _ring_scan(pts) -> tuple[int, bool]:
+    """One fused pass: (shoelace*2, no-degenerate-vertices). Duplicate and
+    collinear drops never change the shoelace sum, so when the ring is clean
+    (the common case) this replaces a simplify_ring pass AND ring_area2; when
+    it is not, the area still stands for the simplified ring."""
+    n = len(pts)
+    s = 0
+    clean = True
+    p0 = pts[n - 2]
+    p1 = pts[n - 1]
+    for i in range(n):
+        p2 = pts[i]
+        s += p1[0] * p2[1] - p2[0] * p1[1]
+        if clean and (
+            p1 == p0
+            or (p1[0] - p0[0]) * (p2[1] - p1[1])
+            == (p1[1] - p0[1]) * (p2[0] - p1[0])
+        ):
+            clean = False
+        p0 = p1
+        p1 = p2
+    return s, clean
 
 
 def simplify_ring(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -403,11 +456,16 @@ def extract_shapes(
     holes: list[list[tuple[int, int]]] = []
     min_area2 = 2 * options.min_output_area
     for ring, hole in contours:
-        if not options.preserve_output_collinear:
-            ring = simplify_ring(list(map(tuple, ring)))
         if len(ring) < 3:
             continue
-        a2 = ring_area2(ring)
+        if not options.preserve_output_collinear:
+            a2, ring_clean = _ring_scan(ring)
+            if not ring_clean:
+                ring = simplify_ring(list(ring))
+                if len(ring) < 3:
+                    continue
+        else:
+            a2 = ring_area2(ring)
         if a2 == 0 or (min_area2 > 0 and abs(a2) < min_area2):
             continue
         if hole:
@@ -633,7 +691,7 @@ def walk_vectors(
     bfills = fills[idx].tolist()
     g = _LinkGraph(pts_a, pts_b, bfills)
 
-    visited = np.zeros(g.m, dtype=bool)
+    visited = [False] * g.m
     out = []
     for start in range(g.m):
         if visited[start]:
