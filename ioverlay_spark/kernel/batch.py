@@ -30,7 +30,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..options import DEFAULT_OPTIONS, FillRule, OverlayOptions, OverlayRule
-from .extract import extract_shapes
 from .fill import compute_fills
 from .overlay import build_graph
 from .segments import Segments, build_segments, sort_and_merge
@@ -691,35 +690,30 @@ def overlay_batch(
     any_slow = ~np.ones(nj, dtype=bool)
     for rule in rules:
         any_slow |= ~fast_mask[rule]
+    if any_slow.any():
+        # job-local endpoint lists for EVERY link, adjusted batch-wide in numpy
+        # (per-tile numpy slicing + zipping was ~15% of the batch wall);
+        # per tile these are O(1)-ish list slices feeding ONE _LinkGraph shared
+        # by every rule's walk (dead links pre-visited per rule)
+        from .extract import _LinkGraph, finalize_contours, walk_contours
+
+        link_off = np.repeat(off, np.diff(starts))
+        all_pa = list(zip((segs.ax - link_off).tolist(), (segs.ay + y0).tolist()))
+        all_pb = list(zip((segs.bx - link_off).tolist(), (segs.by + y0).tolist()))
+        all_fl = all_fills.tolist()
+    clockwise = clockwise_output
     for slot in range(nj):
         lo, hi = int(starts[slot]), int(starts[slot + 1])
         if lo == hi:
             continue
-        slow = bool(any_slow[slot])
-        if slow:
-            sub = Segments(
-                segs.ax[lo:hi] - int(off[slot]),
-                segs.ay[lo:hi] + y0,
-                segs.bx[lo:hi] - int(off[slot]),
-                segs.by[lo:hi] + y0,
-                segs.subj[lo:hi],
-                segs.clip[lo:hi],
-            )
-            fills = all_fills[lo:hi]
-            # ONE link graph per tile, shared by every rule's walk (dead links
-            # pre-visited per rule) — the graph build was the single biggest
-            # per-job python cost at 3 rules/job
-            from .extract import _LinkGraph
-
-            pts_a = list(zip(sub.ax.tolist(), sub.ay.tolist()))
-            pts_b = list(zip(sub.bx.tolist(), sub.by.tolist()))
-            g = _LinkGraph(pts_a, pts_b, fills.tolist())
+        if any_slow[slot]:
+            g = _LinkGraph(all_pa[lo:hi], all_pb[lo:hi], all_fl[lo:hi])
         for rule in rules:
             if fast_mask[rule][slot]:
                 results[slot][rule] = fast_shapes[rule].get(slot, [])
             else:
-                results[slot][rule] = extract_shapes(
-                    sub, fills, rule, options,
-                    boundary=rule_masks[rule][lo:hi], graph=g,
+                contours = walk_contours(
+                    None, None, rule, clockwise, rule_masks[rule][lo:hi], g
                 )
+                results[slot][rule] = finalize_contours(contours, options)
     return results

@@ -451,7 +451,13 @@ def extract_shapes(
     clockwise_output = options.output_direction == ContourDirection.CLOCKWISE
     if contours is None:
         contours = walk_contours(segs, fills, rule, clockwise_output, boundary, graph)
+    return finalize_contours(contours, options)
 
+
+def finalize_contours(contours: list, options: OverlayOptions) -> list[list[np.ndarray]]:
+    """Validate walked contours (dedupe/collinear, min-area) and bind holes —
+    the back half of extract_shapes, callable directly when the caller already
+    ran the walk (the batch kernel walks with a shared per-tile graph)."""
     hulls: list[list[tuple[int, int]]] = []
     holes: list[list[tuple[int, int]]] = []
     min_area2 = 2 * options.min_output_area

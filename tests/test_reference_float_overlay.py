@@ -181,6 +181,37 @@ def test_clip_boundary():
     assert len(r1) == 1
 
 
+# --- float_point_adapter.rs: explicit-rect / explicit-scale adapters ----------
+
+
+def test_adapter_with_rect():
+    # float_point_adapter.rs test_adapter_with_rect: the same 1/3-sized square
+    # through adapters fitted to two very different explicit extents still
+    # yields the 4-point square.
+    s = 1.0 / 3.0
+    shape = [np.array([[0.0, 0.0], [0.0, s], [s, s], [s, 0.0]])]
+    for extent in (100.0, 1000.0):
+        # FloatPointAdapter::new(FloatRect(-e, e, -e, e)): offset = rect min,
+        # power-of-two scale sized to the rect extent (TARGET_BITS ~ 2^29)
+        k = 29 - int(np.ceil(np.log2(2 * extent)))
+        a = NumpyFloatAdapter(-extent, -extent, float(2.0**k))
+        r = float_overlay(shape, [], OverlayRule.SUBJECT, NZ, adapter=a,
+                          dtype=np.float64)
+        assert len(r) == 1 and len(r[0]) == 1 and len(r[0][0]) == 4
+
+
+def test_adapter_with_scale():
+    # float_point_adapter.rs test_adapter_with_scale: user-chosen decimal
+    # scales (100, 1000) via with_scale — not power-of-two.
+    s = 1.0 / 3.0
+    shape = [np.array([[0.0, 0.0], [0.0, s], [s, s], [s, 0.0]])]
+    for scale in (100.0, 1000.0):
+        a = NumpyFloatAdapter(-0.1, -0.1, scale)
+        r = float_overlay(shape, [], OverlayRule.SUBJECT, NZ, adapter=a,
+                          dtype=np.float64)
+        assert len(r) == 1 and len(r[0]) == 1 and len(r[0][0]) == 4
+
+
 # --- clean_result: f32 round-trip cleanup -------------------------------------
 
 SHAPE_0_F32 = np.array(
