@@ -332,7 +332,10 @@ def main():
     # systematically biasing one half. Every attempt's probes and per-half times
     # are recorded; the median attempt-ratio is reported alongside the headline
     # (ADVICE r02 bench.py:340 — the distribution is visible, not a silent max).
-    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "5"))
+    # the wall budget, not the attempt count, is the binding stop in a degraded
+    # host window (healthy windows early-exit at >=0.8 after 2 attempts), so a
+    # high attempt cap just lets a bad window use all of the budgeted retries
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "8"))
     min_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_MIN_ATTEMPTS", "2"))
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
     timesN: list[float] = []
@@ -363,7 +366,10 @@ def main():
         ):
             break
         if attempt + 1 < max_attempts:
-            time.sleep(15)
+            # when the gate's own probes showed a degraded window, waiting out
+            # the noisy neighbor is cheaper than burning another ~2 min attempt
+            probes = gate.get("cpu_probes") or [4.0]
+            time.sleep(40 if max(probes) < 3.4 else 15)
     results = {SCALE_N: last[SCALE_N], 4 * SCALE_N: last[4 * SCALE_N]}
     # headline: best-of-per-half (min over attempts for each level independently)
     tN, t4N = min(timesN), min(times4N)
@@ -398,6 +404,14 @@ def main():
         # deliverable compute (cpu) and memory-bandwidth (membw) speedups N->4N.
         "flagship_overlay_efficiency": round(tN / (4 * t4N), 3),
     }
+    hc = host_control()
+    # context, not a substitute: how much of the HOST's own deliverable N->4N
+    # compute scaling (pure-CPU control processes, no Spark) the flagship
+    # achieved — a degraded window caps even perfectly parallel work below 4x
+    if hc.get("cpu_speedup_Nto4N"):
+        scaling["efficiency_vs_host_cpu_ceiling"] = round(
+            min(1.0, (tN / t4N) / hc["cpu_speedup_Nto4N"]), 3
+        )
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -411,7 +425,7 @@ def main():
                 "counts": main_res["counts"],
                 "rows_per_sec": main_res["rows_per_sec"],
                 "scaling": scaling,
-                "host_control": host_control(),
+                "host_control": hc,
             }
         )
     )
