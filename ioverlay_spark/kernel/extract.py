@@ -96,12 +96,13 @@ class _LinkGraph:
         m = self.m = len(pts_a)
         if m < 256:
             # tiny graph (the batched-kernel common case): dict insertion beats
-            # the np.unique/argsort constant costs by a wide margin
+            # the np.unique/argsort constant costs by a wide margin.
             # a_node/b_node/visited stay PLAIN PYTHON lists throughout the walk:
             # every read in the walk loop is a scalar access from Python, where
             # numpy scalar indexing costs ~10x a list index
             node_ids: dict[tuple[int, int], int] = {}
             incid: list[list[int]] = []
+            node_pt: list[tuple[int, int]] = []
             self.a_node = [0] * m
             self.b_node = [0] * m
             for e in range(m):
@@ -111,12 +112,11 @@ class _LinkGraph:
                         nid = len(node_ids)
                         node_ids[end] = nid
                         incid.append([])
+                        node_pt.append(end)
                     arr[e] = nid
                     incid[nid].append(e)
             self.incid = incid
-            self.node_pt = [None] * len(node_ids)
-            for pt, nid in node_ids.items():
-                self.node_pt[nid] = pt
+            self.node_pt = node_pt
             return
         # large graph: vectorized node building — first-occurrence-ordered unique
         # endpoint ids (identical to the dict loop: endpoints scanned in
@@ -136,7 +136,11 @@ class _LinkGraph:
         link_of = np.repeat(np.arange(m, dtype=np.int64), 2)
         grp = np.argsort(node, kind="stable")
         counts = np.bincount(node, minlength=n_nodes)
-        self.incid = [arr.tolist() for arr in np.split(link_of[grp], np.cumsum(counts)[:-1])]
+        # slice a plain python list per node — np.split would allocate one
+        # numpy array per node, ~10x the cost at mega-graph scale
+        sl = link_of[grp].tolist()
+        offs = np.concatenate(([0], np.cumsum(counts))).tolist()
+        self.incid = [sl[offs[i]:offs[i + 1]] for i in range(n_nodes)]
         pts_first = ends[first[order]]
         self.node_pt = list(map(tuple, pts_first.tolist()))
 
