@@ -17,21 +17,32 @@ from pyspark.sql import SparkSession
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
+_ZIP_CACHE: str | None = None
+
+
 def build_package_zip(zpath: str | None = None) -> str:
-    """Zip the ioverlay_spark package for --py-files / addPyFile shipping."""
+    """Zip the ioverlay_spark package for --py-files / addPyFile shipping.
+
+    Always writes fresh content (cached once per process): a pid- or
+    path-keyed existence check can pick up a STALE zip left by an earlier
+    process — executors then silently run old code."""
+    global _ZIP_CACHE
     if zpath is None:
-        zpath = os.path.join(tempfile.gettempdir(), f"ioverlay_spark_{os.getpid()}.zip")
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
-            for root, _dirs, files in os.walk(_PKG_DIR):
-                for f in files:
-                    if not f.endswith(".py"):
-                        continue
-                    full = os.path.join(root, f)
-                    rel = os.path.join(
-                        "ioverlay_spark", os.path.relpath(full, _PKG_DIR)
-                    )
-                    z.write(full, rel)
+        if _ZIP_CACHE is not None and os.path.exists(_ZIP_CACHE):
+            return _ZIP_CACHE
+        fd, zpath = tempfile.mkstemp(prefix="ioverlay_spark_", suffix=".zip")
+        os.close(fd)
+        _ZIP_CACHE = zpath
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(_PKG_DIR):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(
+                    "ioverlay_spark", os.path.relpath(full, _PKG_DIR)
+                )
+                z.write(full, rel)
     return zpath
 
 
