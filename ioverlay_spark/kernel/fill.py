@@ -116,6 +116,60 @@ def compute_fills(segs: Segments, fill_rule: FillRule) -> np.ndarray:
     return fill
 
 
+def _windings_grouped(
+    tax: np.ndarray,
+    tay: np.ndarray,
+    tbx: np.ndarray,
+    tby: np.ndarray,
+    subj: np.ndarray,
+    clip: np.ndarray,
+    uxi: np.ndarray,
+    inv: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bottom windings when rays share few distinct x positions (uxi = unique
+    doubled-midpoint Xi, inv = per-segment index into uxi).
+
+    For a fixed ray x = Xi/2, a non-vertical candidate t (x-span containing Xi)
+    is below a ray at doubled-y Y exactly when num_t < Y * dt_t (dt > 0), i.e.
+    Y >= floor(num_t / dt_t) + 1 — an exact INTEGER activation threshold
+    (floor-div rounds toward -inf, so negative numerators are handled). Sorting
+    thresholds once per unique Xi turns every ray's winding into prefix-sum +
+    searchsorted: O(U*n + P log P) total instead of the dense O(n*m) pair
+    matrix, a ~100x kernel cut on grid-like strips where U is tiny (lines_net,
+    rect/tile workloads — BENCH.md). Exact: same integer predicate as
+    _windings_below, differential-tested."""
+    n = len(tax)
+    wind_s = np.zeros(n, dtype=np.int64)
+    wind_c = np.zeros(n, dtype=np.int64)
+    nonvert = tbx > tax
+    t_ax2 = 2 * tax[nonvert]
+    t_bx2 = 2 * tbx[nonvert]
+    t_ay = tay[nonvert]
+    t_dt = (tbx - tax)[nonvert]
+    t_dy = (tby - tay)[nonvert]
+    t_subj = subj[nonvert]
+    t_clip = clip[nonvert]
+    Y = tay + tby
+    # group rays by unique Xi via one argsort (not U passes of inv == k)
+    ray_order = np.argsort(inv, kind="stable")
+    grp = np.searchsorted(inv[ray_order], np.arange(len(uxi) + 1))
+    for k, xi in enumerate(uxi.tolist()):
+        rays = ray_order[grp[k] : grp[k + 1]]
+        cand = np.flatnonzero((t_ax2 <= xi) & (xi < t_bx2))
+        if len(cand) == 0 or len(rays) == 0:
+            continue
+        num = 2 * t_ay[cand] * t_dt[cand] + t_dy[cand] * (xi - t_ax2[cand])
+        thr = num // t_dt[cand] + 1
+        order = np.argsort(thr, kind="stable")
+        thr = thr[order]
+        ps = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(t_subj[cand][order])])
+        pc = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(t_clip[cand][order])])
+        pos = np.searchsorted(thr, Y[rays], side="right")
+        wind_s[rays] = ps[pos]
+        wind_c[rays] = pc[pos]
+    return wind_s, wind_c
+
+
 def compute_fills_windowed(segs: Segments, fill_rule: FillRule) -> np.ndarray:
     """compute_fills with an x-window candidate bound: the downward ray at a
     segment's doubled midpoint Xi only crosses segments t with
@@ -137,6 +191,25 @@ def compute_fills_windowed(segs: Segments, fill_rule: FillRule) -> np.ndarray:
     )
     if 4 * extent * extent >= (1 << 62):
         return compute_fills(segs, fill_rule)  # object-int path
+    # grouped-by-ray-x path: when rays share few distinct midpoints (grid-like
+    # data — exactly the shape that lands in narrow x-strips of the distributed
+    # fill), per-unique-Xi sorted activation thresholds beat both the dense
+    # matrix and the window; the U*8 <= n gate bounds its O(U*n) candidate scans
+    tax_all, tay_all = ax - x0, ay - y0
+    tbx_all, tby_all = bx - x0, by - y0
+    uxi, inv = np.unique(tax_all + tbx_all, return_inverse=True)
+    if len(uxi) * 8 <= n:
+        wind_s, wind_c = _windings_grouped(
+            tax_all, tay_all, tbx_all, tby_all, segs.subj, segs.clip, uxi, inv
+        )
+        top_s = wind_s + segs.subj
+        top_c = wind_c + segs.clip
+        return (
+            _is_inside(top_s, fill_rule).astype(np.uint8) * SUBJ_TOP
+            | _is_inside(wind_s, fill_rule).astype(np.uint8) * SUBJ_BOTTOM
+            | _is_inside(top_c, fill_rule).astype(np.uint8) * CLIP_TOP
+            | _is_inside(wind_c, fill_rule).astype(np.uint8) * CLIP_BOTTOM
+        )
     extent_x = int(bx.max() - x0)
     maxlen_all = int((bx - ax).max())
     if 8 * maxlen_all >= extent_x:

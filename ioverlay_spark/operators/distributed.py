@@ -314,7 +314,6 @@ def apply_marks_df(
     # comparator lambda here would be interpreted per comparison (no codegen) and
     # dominates wall-clock when segments carry hundreds of marks.
     chain = """
-    filter(
       array_distinct(
         concat(
           array(struct(ax AS px, ay AS py)),
@@ -329,40 +328,36 @@ def apply_marks_df(
           ),
           array(struct(bx AS px, by AS py))
         )
-      ),
-      p -> true
-    )
+      )
     """
-    # CRITICAL: pair consecutive chain points via posexplode + window lead, NOT
-    # by indexing the chain array inside another transform — Catalyst collapses
-    # projections, so chain[i] indexing would re-inline and re-evaluate the whole
-    # sort/dedup chain expression PER ELEMENT ACCESS (measured 378 s for 512
-    # segments x 256 marks; the generator evaluates it once per row).
-    from pyspark.sql.window import Window
-
-    exploded = j.select(
-        "ax",
-        "ay",
-        "bx",
-        "by",
+    # Pair CONSECUTIVE chain points MAP-SIDE: zip the chain with itself shifted
+    # by one (two slices) — no window, so each split round drops a per-segment
+    # shuffle+sort stage. Two Catalyst traps drive the exact shape of this
+    # expression: (a) indexing chain[i] inside a transform re-inlines and
+    # re-evaluates the whole sort/dedup chain PER ELEMENT ACCESS (measured 378 s
+    # for 512 segments x 256 marks); (b) naive arrays_zip(slice(chain,..),
+    # slice(chain,..)) inlines it 4x per row after projection collapse. Binding
+    # the chain to a lambda variable via transform(array(<chain>), ch -> ...)
+    # evaluates it exactly ONCE per row; inside the lambda `ch` is a variable
+    # reference, not a re-inlined expression. Adjacent chain elements are
+    # distinct by construction (array_distinct), so no p != q filter is needed.
+    pairs = f"""
+    flatten(transform(array({chain}), ch ->
+      zip_with(slice(ch, 1, size(ch) - 1), slice(ch, 2, size(ch)),
+               (p, q) -> struct(p.px AS px, p.py AS py, q.px AS qx, q.py AS qy))))
+    """
+    paired = j.select(
         "subj",
         "clip",
         *[F.col(c) for c in (extra_aggs or {})],
-        F.posexplode(F.expr(chain)).alias("pos", "p"),
+        F.explode(F.expr(pairs)).alias("e"),
     )
-    w = Window.partitionBy("ax", "ay", "bx", "by").orderBy("pos")
-    paired = (
-        exploded.withColumn("qx", F.lead("p.px").over(w))
-        .withColumn("qy", F.lead("p.py").over(w))
-        .where(F.col("qx").isNotNull())
-        .where((F.col("p.px") != F.col("qx")) | (F.col("p.py") != F.col("qy")))
-    )
-    fwd = F.expr("p.px < qx OR (p.px = qx AND p.py < qy)")
+    fwd = F.expr("e.px < e.qx OR (e.px = e.qx AND e.py < e.qy)")
     out = paired.select(
-        F.when(fwd, F.col("p.px")).otherwise(F.col("qx")).alias("ax"),
-        F.when(fwd, F.col("p.py")).otherwise(F.col("qy")).alias("ay"),
-        F.when(fwd, F.col("qx")).otherwise(F.col("p.px")).alias("bx"),
-        F.when(fwd, F.col("qy")).otherwise(F.col("p.py")).alias("by"),
+        F.when(fwd, F.col("e.px")).otherwise(F.col("e.qx")).alias("ax"),
+        F.when(fwd, F.col("e.py")).otherwise(F.col("e.qy")).alias("ay"),
+        F.when(fwd, F.col("e.qx")).otherwise(F.col("e.px")).alias("bx"),
+        F.when(fwd, F.col("e.qy")).otherwise(F.col("e.py")).alias("by"),
         F.when(fwd, F.col("subj")).otherwise(-F.col("subj")).alias("subj"),
         F.when(fwd, F.col("clip")).otherwise(-F.col("clip")).alias("clip"),
         *[F.col(c) for c in (extra_aggs or {})],
