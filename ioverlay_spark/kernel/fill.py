@@ -173,13 +173,15 @@ def _windings_grouped(
 def compute_fills_windowed(segs: Segments, fill_rule: FillRule) -> np.ndarray:
     """compute_fills with an x-window candidate bound: the downward ray at a
     segment's doubled midpoint Xi only crosses segments t with
-    2*ax[t] <= Xi < 2*bx[t], and since bx[t] <= ax[t] + maxlen (maxlen = the
-    longest x-span in the set), every candidate satisfies
-    2*ax[t] > Xi - 2*maxlen. Sorting by ax turns the candidate set into a
+    2*ax[t] <= Xi < 2*bx[t], and since bx[t] <= ax[t] + maxlen within a
+    length class, every candidate satisfies 2*ax[t] > Xi - 2*maxlen. Sorting
+    each power-of-8 length class by ax turns its candidate set into a
     contiguous window — O(n * local density) instead of the dense O(n * m)
-    chunks of _windings_below. EXACT same output (differential-tested); this is
-    what makes the x-strip fill survive crossing-dense inputs where splitting
-    leaves millions of short segments (lines_net, BENCH.md)."""
+    chunks of _windings_below, and within ~1.5x of the true active-pair floor
+    on mixed-length inputs (spiral audit, BENCH.md). EXACT same output
+    (differential-tested); this is what makes the x-strip fill survive
+    crossing-dense inputs where splitting leaves millions of short segments
+    (lines_net, BENCH.md)."""
     n = len(segs)
     if n == 0:
         return np.zeros(0, dtype=np.uint8)
@@ -210,69 +212,78 @@ def compute_fills_windowed(segs: Segments, fill_rule: FillRule) -> np.ndarray:
             | _is_inside(top_c, fill_rule).astype(np.uint8) * CLIP_TOP
             | _is_inside(wind_c, fill_rule).astype(np.uint8) * CLIP_BOTTOM
         )
-    extent_x = int(bx.max() - x0)
-    maxlen_all = int((bx - ax).max())
-    if 8 * maxlen_all >= extent_x:
-        # the window would cover most of the set (e.g. inside one x-strip,
-        # where the strip IS the window): the dense broadcast kernel's lower
-        # constants win — windowing only pays when spans are narrow relative
-        # to the full x-extent
-        return compute_fills(segs, fill_rule)
-
-    order = np.argsort(ax, kind="stable")
-    sax = (ax - x0)[order]
-    say = (ay - y0)[order]
-    sbx = (bx - x0)[order]
-    sby = (by - y0)[order]
-    ssubj = segs.subj[order]
-    sclip = segs.clip[order]
-
-    Xi = sax + sbx
-    Yi = say + sby
-    dt = sbx - sax
-    dy = sby - say
-    nonvert = dt > 0
-    maxlen = int(dt.max()) if n else 0
-    sax2 = 2 * sax
-    lo = np.searchsorted(sax2, Xi - 2 * maxlen, side="left")
-    hi = np.searchsorted(sax2, Xi, side="right")
-    counts = np.maximum(hi - lo, 0)
-    cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
-
+    # length-class windows: ONE global-maxlen window overshoots badly when span
+    # lengths are mixed (spiral: median chord 24x shorter than the longest), so
+    # non-vertical segments are bucketed into power-of-8 x-length classes, each
+    # searched with its own window. Candidate totals are measured up front and
+    # the dense kernel kept when it is genuinely cheaper (e.g. inside one
+    # x-strip of the distributed fill, where the strip IS the window).
+    tax, tay = tax_all, tay_all
+    tbx, tby = tbx_all, tby_all
+    Xi = tax + tbx
+    Yi = tay + tby
     wind_s = np.zeros(n, dtype=np.int64)
     wind_c = np.zeros(n, dtype=np.int64)
-    block = 4_000_000
-    start = 0
-    while start < n:
-        stop = int(np.searchsorted(cum, cum[start] + block, side="left"))
-        stop = min(max(stop, start + 1), n)
-        c = counts[start:stop]
-        total = int(c.sum())
-        base = cum[start]
-        qlo = start
-        start = stop
-        if total == 0:
-            continue
-        q = np.repeat(np.arange(qlo, stop, dtype=np.int64), c)
-        t = np.arange(total, dtype=np.int64) - (cum[q] - base) + lo[q]
-        m = nonvert[t] & (Xi[q] < 2 * sbx[t])
-        q, t = q[m], t[m]
-        if len(q) == 0:
-            continue
-        num = 2 * say[t] * dt[t] + dy[t] * (Xi[q] - sax2[t])
-        below = num < Yi[q] * dt[t]
-        q, t = q[below], t[below]
-        np.add.at(wind_s, q, ssubj[t])
-        np.add.at(wind_c, q, sclip[t])
+    nv = np.flatnonzero(tbx > tax)
+    if len(nv):
+        L = (tbx - tax)[nv]
+        cls = (np.frexp(L.astype(np.float64))[1] - 1) // 3  # floor(log2 L) // 3
+        classes = []
+        est = 0
+        for cval in np.unique(cls):
+            idx = nv[cls == cval]
+            idx = idx[np.argsort(tax[idx], kind="stable")]
+            sax2 = 2 * tax[idx]
+            wlen = 2 * int((tbx[idx] - tax[idx]).max())
+            lo = np.searchsorted(sax2, Xi - wlen, side="left")
+            hi = np.searchsorted(sax2, Xi, side="right")
+            counts = np.maximum(hi - lo, 0)
+            est += int(counts.sum())
+            classes.append((idx, lo, counts))
+        if 2 * est >= n * len(nv):
+            return compute_fills(segs, fill_rule)
+        block = 4_000_000
+        for idx, lo, counts in classes:
+            cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+            start = 0
+            while start < n:
+                stop = int(np.searchsorted(cum, cum[start] + block, side="left"))
+                stop = min(max(stop, start + 1), n)
+                c = counts[start:stop]
+                total = int(c.sum())
+                base = cum[start]
+                qlo = start
+                start = stop
+                if total == 0:
+                    continue
+                q = np.repeat(np.arange(qlo, stop, dtype=np.int64), c)
+                t = idx[np.arange(total, dtype=np.int64) - (cum[q] - base) + lo[q]]
+                m = Xi[q] < 2 * tbx[t]
+                q, t = q[m], t[m]
+                if len(q) == 0:
+                    continue
+                dtt = tbx[t] - tax[t]
+                num = 2 * tay[t] * dtt + (tby[t] - tay[t]) * (Xi[q] - 2 * tax[t])
+                below = num < Yi[q] * dtt
+                q, t = q[below], t[below]
+                if len(q) == 0:
+                    continue
+                # bincount beats np.add.at ~10x (buffered C loop); winding sums
+                # are far below 2^53 so the float64 accumulation is exact
+                qr = q - qlo
+                span = stop - qlo
+                wind_s[qlo:stop] += np.bincount(
+                    qr, weights=segs.subj[t], minlength=span
+                ).astype(np.int64)
+                wind_c[qlo:stop] += np.bincount(
+                    qr, weights=segs.clip[t], minlength=span
+                ).astype(np.int64)
 
-    top_s = wind_s + ssubj
-    top_c = wind_c + sclip
-    sorted_fill = (
+    top_s = wind_s + segs.subj
+    top_c = wind_c + segs.clip
+    return (
         _is_inside(top_s, fill_rule).astype(np.uint8) * SUBJ_TOP
         | _is_inside(wind_s, fill_rule).astype(np.uint8) * SUBJ_BOTTOM
         | _is_inside(top_c, fill_rule).astype(np.uint8) * CLIP_TOP
         | _is_inside(wind_c, fill_rule).astype(np.uint8) * CLIP_BOTTOM
     )
-    fill = np.empty(n, dtype=np.uint8)
-    fill[order] = sorted_fill
-    return fill

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..options import DEFAULT_OPTIONS, FillRule, OverlayOptions, OverlayRule
 from .extract import extract_shapes
-from .fill import compute_fills
+from .fill import compute_fills_windowed
 from .segments import Segments, build_segments, sort_and_merge
 from .split import split_segments
 
@@ -46,7 +46,7 @@ def build_graph(
         ]
     )
     segs = split_segments(segs)  # sorts + merges first (A1/A2), then splits
-    fills = compute_fills(segs, fill_rule)
+    fills = compute_fills_windowed(segs, fill_rule)
     return OverlayGraph(segs, fills, options)
 
 

@@ -21,7 +21,7 @@ from .fill import (
     SUBJ_BOTH,
     SUBJ_BOTTOM,
     SUBJ_TOP,
-    compute_fills,
+    compute_fills_windowed,
 )
 from .segments import Segments, build_segments, sort_and_merge
 from .split import split_segments
@@ -101,7 +101,7 @@ def relate(
         Segments.concat([build_segments(subj, True), build_segments(clip, False)])
     )
     segs = split_segments(segs)
-    fills = compute_fills(segs, fill_rule)
+    fills = compute_fills_windowed(segs, fill_rule)
     return Relation(segs, fills)
 
 

@@ -10,9 +10,11 @@ Semantics match the reference split stage:
 - repeat rounds while any intersection required rounding
   (iOverlay/src/split/solver_list.rs:27-64).
 
-Candidate-pair generation is vectorized (x-sweep + bbox masks). Exact math runs on
-Python ints per candidate pair — candidate counts are small after pruning. At Spark
-scale this same kernel runs per grid cell inside applyInPandas (SURVEY.md A6).
+Candidate-pair generation is vectorized (x-sweep + bbox masks). Exact math runs
+through the vectorized int64 solver (cross_vec.cross_pairs_batch) whenever every
+coordinate is under 2^30; beyond that it falls back to the python-int scalar
+`cross_pair` per candidate pair. At Spark scale this same kernel runs per grid
+cell inside applyInPandas (SURVEY.md A6).
 """
 
 from __future__ import annotations
@@ -175,18 +177,30 @@ def _candidate_pairs(segs: Segments) -> np.ndarray:
             & (ymax[j] >= ymin[i])
         )
         return np.stack([i[m], j[m]], axis=1)
-    out = []
-    # for each i, js in (i, hi) where ax[j] <= bx[i]
+    # vectorized enumeration of the per-i x-window [i+1, his[i]), chunked under a
+    # pair budget so skewed x-overlap (many segments sharing x-range) can't
+    # materialize multi-GB index arrays before the y-filter prunes
     his = np.searchsorted(ax, bx, side="right")
-    for i in range(n - 1):
-        hi = his[i]
-        if hi <= i + 1:
-            continue
-        j = np.arange(i + 1, hi)
-        m = (ymin[j] <= ymax[i]) & (ymax[j] >= ymin[i])
-        j = j[m]
-        if len(j):
-            out.append(np.stack([np.full(len(j), i, dtype=np.int64), j], axis=1))
+    i0 = np.arange(n, dtype=np.int64)
+    counts = np.maximum(his - i0 - 1, 0)
+    cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+    if cum[-1] == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    out = []
+    budget = 4_000_000
+    start = 0
+    while start < n:
+        stop = int(np.searchsorted(cum, cum[start] + budget, side="left"))
+        stop = min(max(stop, start + 1), n)
+        c = counts[start:stop]
+        tot = int(c.sum())
+        if tot:
+            i_rep = np.repeat(np.arange(start, stop, dtype=np.int64), c)
+            j = np.arange(tot, dtype=np.int64) - (cum[i_rep] - cum[start]) + i_rep + 1
+            m = (ymin[j] <= ymax[i_rep]) & (ymax[j] >= ymin[i_rep])
+            if m.any():
+                out.append(np.stack([i_rep[m], j[m]], axis=1))
+        start = stop
     if not out:
         return np.empty((0, 2), dtype=np.int64)
     return np.concatenate(out, axis=0)
@@ -239,6 +253,18 @@ def split_segments(segs: Segments, start: int = 0, step: int = 1, max_rounds: in
     Radius progression 2^(start + k*step) capped at 2^60, matching Precision::HIGH
     defaults (iOverlay/src/core/solver.rs:47-51, iOverlay/src/split/snap_radius.rs)."""
     segs = sort_and_merge(segs)
+    # vectorized exact solver (cross_vec) needs every diff product to fit int64;
+    # splitting only creates points inside existing bboxes, so check the cap once
+    cap = 1 << 30
+    vec_ok = len(segs) == 0 or (
+        max(
+            int(np.abs(segs.ax).max()),
+            int(np.abs(segs.ay).max()),
+            int(np.abs(segs.bx).max()),
+            int(np.abs(segs.by).max()),
+        )
+        < cap
+    )
     exp = start
     for _ in range(max_rounds):
         if len(segs) < 2:
@@ -247,16 +273,29 @@ def split_segments(segs: Segments, start: int = 0, step: int = 1, max_rounds: in
         pairs = _candidate_pairs(segs)
         marks: list[tuple[int, int, int]] = []
         need_fix = False
-        seg_rows = np.stack([segs.ax, segs.ay, segs.bx, segs.by], axis=1)
-        for i, j in pairs:
-            pm, rnd = cross_pair(
-                tuple(int(v) for v in seg_rows[i]),
-                tuple(int(v) for v in seg_rows[j]),
+        if len(pairs) and vec_ok:
+            from .cross_vec import cross_pairs_batch
+
+            ci, cj = pairs[:, 0], pairs[:, 1]
+            pid, which, mx, my, rnd = cross_pairs_batch(
+                segs.ax[ci], segs.ay[ci], segs.bx[ci], segs.by[ci],
+                segs.ax[cj], segs.ay[cj], segs.bx[cj], segs.by[cj],
                 radius,
             )
-            need_fix = need_fix or rnd
-            for which, x, y in pm:
-                marks.append((int(i) if which == 0 else int(j), x, y))
+            need_fix = bool(rnd.any())
+            seg_idx = np.where(which == 0, ci[pid], cj[pid])
+            marks = list(zip(seg_idx.tolist(), mx.tolist(), my.tolist()))
+        else:
+            seg_rows = np.stack([segs.ax, segs.ay, segs.bx, segs.by], axis=1)
+            for i, j in pairs:
+                pm, rnd = cross_pair(
+                    tuple(int(v) for v in seg_rows[i]),
+                    tuple(int(v) for v in seg_rows[j]),
+                    radius,
+                )
+                need_fix = need_fix or rnd
+                for which, x, y in pm:
+                    marks.append((int(i) if which == 0 else int(j), x, y))
         if not marks:
             return segs
         segs = sort_and_merge(_apply_marks(segs, marks))
