@@ -116,6 +116,154 @@ def compute_fills(segs: Segments, fill_rule: FillRule) -> np.ndarray:
     return fill
 
 
+def _windings_sweep(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
+    """O(n log n) sweep-line windings (the reference's scan-list shape,
+    iOverlay/src/build/sweep.rs, re-derived for the ray-at-midpoint
+    formulation). Only valid on POST-SPLIT sets (every compute_fills* caller):
+    no two segments cross or touch another's interior, so
+
+      * the face immediately below a segment is CONSTANT along its open
+        interior (an arrangement vertex there would be a T-junction), and
+      * the bottom winding of a segment equals the bottom winding of its
+        below-neighbor at insertion plus that neighbor's directed weight —
+        winding propagates along a forest instead of being re-summed per ray.
+
+    The active list holds non-vertical segments in y-order (non-crossing ⇒
+    order is invariant while active), as a plain Python list with manual
+    binary search: every comparison is integer point-vs-segment
+    (num < T*dt — one side is always an integer event point, never
+    rational-vs-rational), exact in Python ints at ANY coordinate scale, which
+    is why this also replaces the object-int dense path for >2^31 extents.
+    Events at doubled-x: removals, then insertions (batch ordered by start-y
+    then slope for shared nodes), then vertical-segment midpoint queries."""
+    n = len(segs)
+    zs = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return zs, zs.copy()
+    ax = segs.ax.tolist()
+    ay = segs.ay.tolist()
+    bx = segs.bx.tolist()
+    by = segs.by.tolist()
+    ws = segs.subj.tolist()
+    wc = segs.clip.tolist()
+    # event key (X, kind, start-y): winding propagation requires same-X
+    # insertions to run BOTTOM-UP (a segment reads its below-neighbor's value,
+    # which must already be set); same-(X, y) runs share a start node and are
+    # slope-ordered below. Removal/query order within a batch is irrelevant.
+    events: list[tuple[int, int, int, int]] = []
+    for i in range(n):
+        if bx[i] > ax[i]:
+            events.append((2 * ax[i], 1, 2 * ay[i], i))
+            events.append((2 * bx[i], 0, 0, i))
+        else:
+            events.append((2 * ax[i], 2, 0, i))
+    events.sort()
+    # slope-sort shared-start insertion runs (rare, tiny): ascending dy/dt
+    k = 0
+    m = len(events)
+    while k < m:
+        if events[k][1] != 1:
+            k += 1
+            continue
+        e = k + 1
+        while e < m and events[e][:3] == events[k][:3]:
+            e += 1
+        if e - k > 1:
+            import functools
+
+            def _cmp(ea, eb):
+                i1, i2 = ea[3], eb[3]
+                lhs = (by[i1] - ay[i1]) * (bx[i2] - ax[i2])
+                rhs = (by[i2] - ay[i2]) * (bx[i1] - ax[i1])
+                return -1 if lhs < rhs else (1 if lhs > rhs else 0)
+
+            events[k:e] = sorted(events[k:e], key=functools.cmp_to_key(_cmp))
+        k = e
+    wind_s = [0] * n
+    wind_c = [0] * n
+    active: list[int] = []  # non-vertical indices, ascending y at current X
+
+    def below_strict(u: int, X: int, T: int) -> bool:
+        # doubled-y of u at doubled-x X is (2*ay*dt + dy*(X-2*ax)) / dt; u is
+        # strictly below the integer doubled-y T iff num < T*dt (dt > 0)
+        axu = ax[u]
+        dt = bx[u] - axu
+        return 2 * ay[u] * dt + (by[u] - ay[u]) * (X - 2 * axu) < T * dt
+
+    for X, kind, _y0, i in events:
+        if kind == 0:
+            # remove i: locate by its END point (exact integer y), then scan the
+            # equal-y run (other segments ending at the same node) for identity
+            T = 2 * by[i]
+            lo, hi = 0, len(active)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if below_strict(active[mid], X, T):
+                    lo = mid + 1
+                else:
+                    hi = mid
+            j = lo
+            while active[j] != i:
+                j += 1
+            del active[j]
+        elif kind == 1:
+            # insert i at its START point; tiebreak shared starts by slope so
+            # the list is ordered just right of X
+            T = 2 * ay[i]
+            dti = bx[i] - ax[i]
+            dyi = by[i] - ay[i]
+            lo, hi = 0, len(active)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                u = active[mid]
+                axu = ax[u]
+                dt = bx[u] - axu
+                num = 2 * ay[u] * dt + (by[u] - ay[u]) * (X - 2 * axu)
+                rhs = T * dt
+                if num < rhs or (num == rhs and (by[u] - ay[u]) * dti < dyi * dt):
+                    lo = mid + 1
+                else:
+                    hi = mid
+            if lo:
+                u = active[lo - 1]
+                wind_s[i] = wind_s[u] + ws[u]
+                wind_c[i] = wind_c[u] + wc[u]
+            active.insert(lo, i)
+        else:
+            # vertical segment: ray at X = 2*ax, strictly-below count at the
+            # doubled midpoint height (no ties possible post-split)
+            T = ay[i] + by[i]
+            lo, hi = 0, len(active)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if below_strict(active[mid], X, T):
+                    lo = mid + 1
+                else:
+                    hi = mid
+            if lo:
+                u = active[lo - 1]
+                wind_s[i] = wind_s[u] + ws[u]
+                wind_c[i] = wind_c[u] + wc[u]
+    return np.array(wind_s, dtype=np.int64), np.array(wind_c, dtype=np.int64)
+
+
+def _fill_bits(segs: Segments, wind_s, wind_c, fill_rule: FillRule) -> np.ndarray:
+    top_s = wind_s + segs.subj
+    top_c = wind_c + segs.clip
+    return (
+        _is_inside(top_s, fill_rule).astype(np.uint8) * SUBJ_TOP
+        | _is_inside(wind_s, fill_rule).astype(np.uint8) * SUBJ_BOTTOM
+        | _is_inside(top_c, fill_rule).astype(np.uint8) * CLIP_TOP
+        | _is_inside(wind_c, fill_rule).astype(np.uint8) * CLIP_BOTTOM
+    )
+
+
+def compute_fills_sweep(segs: Segments, fill_rule: FillRule) -> np.ndarray:
+    """Sweep-line fill (see _windings_sweep): exact at any coordinate scale."""
+    wind_s, wind_c = _windings_sweep(segs)
+    return _fill_bits(segs, wind_s, wind_c, fill_rule)
+
+
 def _windings_grouped(
     tax: np.ndarray,
     tay: np.ndarray,
@@ -192,7 +340,9 @@ def compute_fills_windowed(segs: Segments, fill_rule: FillRule) -> np.ndarray:
         int(bx.max() - x0), int(by.max() - y0), int(ay.max() - y0), 1
     )
     if 4 * extent * extent >= (1 << 62):
-        return compute_fills(segs, fill_rule)  # object-int path
+        # python-int sweep: exact at any scale and O(n log n), vs the dense
+        # object-int matrix the windowed path would otherwise need here
+        return compute_fills_sweep(segs, fill_rule)
     # grouped-by-ray-x path: when rays share few distinct midpoints (grid-like
     # data — exactly the shape that lands in narrow x-strips of the distributed
     # fill), per-unique-Xi sorted activation thresholds beat both the dense
@@ -242,6 +392,11 @@ def compute_fills_windowed(segs: Segments, fill_rule: FillRule) -> np.ndarray:
             classes.append((idx, lo, counts))
         if 2 * est >= n * len(nv):
             return compute_fills(segs, fill_rule)
+        if est > 96 * n:
+            # dense active sets (spiral-like bands): the O(n log n) sweep beats
+            # the O(est) candidate scan — crossover measured at est/n ~ 110
+            # (BENCH.md spiral audit)
+            return compute_fills_sweep(segs, fill_rule)
         block = 4_000_000
         for idx, lo, counts in classes:
             cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])

@@ -141,3 +141,34 @@ def test_windowed_fills_match_dense():
             assert np.array_equal(
                 compute_fills(segs, fr), compute_fills_windowed(segs, fr)
             )
+
+
+def test_sweep_fills_match_dense():
+    """compute_fills_sweep must be bit-identical to compute_fills on post-split
+    sets — dense shared-node soups, verticals, negative windings, and
+    >2^31-extent coordinates (the object-int territory the sweep replaces)."""
+    import numpy as np
+
+    from ioverlay_spark.kernel.fill import compute_fills, compute_fills_sweep
+    from ioverlay_spark.kernel.segments import Segments, build_segments
+    from ioverlay_spark.kernel.split import split_segments
+    from ioverlay_spark.options import FillRule
+
+    rng = np.random.default_rng(3)
+    for trial in range(30):
+        base = 0 if trial % 3 else int(rng.integers(1, 1 << 58))
+        span = 40 if trial % 3 else 50
+        nring = int(rng.integers(1, 5))
+        mk = lambda: base + rng.integers(-span, span, (int(rng.integers(3, 9)), 2)).astype(
+            np.int64
+        )
+        segs = split_segments(
+            Segments.concat(
+                [
+                    build_segments([mk() for _ in range(nring)], True),
+                    build_segments([mk() for _ in range(nring)], False),
+                ]
+            )
+        )
+        for fr in FillRule:
+            assert np.array_equal(compute_fills(segs, fr), compute_fills_sweep(segs, fr))
