@@ -156,6 +156,80 @@ def cross_pair(ti, tj, radius):
     return [(0, px, py), (1, px, py)], True
 
 
+def _candidate_pairs_grid(
+    segs: Segments, ymin: np.ndarray, ymax: np.ndarray, est_x: int
+) -> np.ndarray | None:
+    """Exact bbox-overlap candidate pairs via grid-cover co-cell pairing.
+
+    Two overlapping bboxes share every cell containing a point of their
+    intersection, so co-cell pairs are a SUPERSET of bbox-overlap pairs; the
+    final mask makes the result exact. The cell size is grown until the cover
+    fits a row budget (long segments cover many cells at small sizes). Returns
+    None when the within-cell pair total would not beat the x-window estimate
+    — the caller falls back."""
+    n = len(segs)
+    ax, bx = segs.ax, segs.bx
+    w = np.maximum(bx - ax, ymax - ymin)
+    # start at the median bbox dimension, grow until cover rows fit the budget
+    shift = max(int(np.median(w)), 1).bit_length()
+    budget = 8 * n
+    for _ in range(40):
+        wx = (bx >> shift) - (ax >> shift) + 1
+        wy = (ymax >> shift) - (ymin >> shift) + 1
+        c = wx * wy
+        total = int(c.sum())
+        if total <= budget:
+            break
+        shift += 1
+    else:
+        return None
+    cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(c)])
+    rep = np.repeat(np.arange(n, dtype=np.int64), c)
+    k = np.arange(total, dtype=np.int64) - cum[rep]
+    gx = (ax[rep] >> shift) + k // wy[rep]
+    gy = (ymin[rep] >> shift) + k % wy[rep]
+    key = (gx - gx.min()) * (int(gy.max() - gy.min()) + 1) + (gy - gy.min())
+    order = np.argsort(key, kind="stable")
+    member = rep[order]
+    key = key[order]
+    # group boundaries -> within-group "each row pairs with all later rows"
+    starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+    bounds = np.concatenate([starts, [total]])
+    grp_of = np.searchsorted(bounds, np.arange(total, dtype=np.int64), side="right") - 1
+    pc = bounds[grp_of + 1] - np.arange(total, dtype=np.int64) - 1
+    ptot = int(pc.sum())
+    if ptot >= est_x:
+        return None
+    pcum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(pc)])
+    chunks = []
+    start = 0
+    pair_budget = 8_000_000
+    while start < total:
+        stop = int(np.searchsorted(pcum, pcum[start] + pair_budget, side="left"))
+        stop = min(max(stop, start + 1), total)
+        cc = pc[start:stop]
+        tt = int(cc.sum())
+        if tt:
+            prow = np.repeat(np.arange(start, stop, dtype=np.int64), cc)
+            qrow = np.arange(tt, dtype=np.int64) - (pcum[prow] - pcum[start]) + prow + 1
+            pi = member[prow]
+            pj = member[qrow]
+            chunks.append(np.unique(np.minimum(pi, pj) * n + np.maximum(pi, pj)))
+        start = stop
+    if not chunks:
+        return np.empty((0, 2), dtype=np.int64)
+    packed = np.unique(np.concatenate(chunks))
+    i = packed // n
+    j = packed % n
+    m = (
+        (ax[j] <= bx[i])
+        & (ax[i] <= bx[j])
+        & (ymin[j] <= ymax[i])
+        & (ymax[j] >= ymin[i])
+    )
+    return np.stack([i[m], j[m]], axis=1)
+
+
 def _candidate_pairs(segs: Segments) -> np.ndarray:
     """All index pairs (i<j) with overlapping bounding boxes.
 
@@ -186,6 +260,16 @@ def _candidate_pairs(segs: Segments) -> np.ndarray:
     cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
     if cum[-1] == 0:
         return np.empty((0, 2), dtype=np.int64)
+    if cum[-1] > 32 * n:
+        # x-overlap alone overshoots badly (long diagonal chords: x-spans
+        # overlap while bboxes don't) — try grid-cover co-cell pairing, the
+        # scalar analogue of the reference's fragmentation
+        # (iOverlay/src/core/solver.rs is_fragmentation_required) and of the
+        # distributed cell cover; it returns an exact bbox-overlap pair set or
+        # None when the grid would not beat the x-window
+        g = _candidate_pairs_grid(segs, ymin, ymax, int(cum[-1]))
+        if g is not None:
+            return g
     out = []
     budget = 4_000_000
     start = 0
