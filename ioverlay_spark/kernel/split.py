@@ -292,7 +292,84 @@ def _candidate_pairs(segs: Segments) -> np.ndarray:
 
 def _apply_marks(segs: Segments, marks: list[tuple[int, int, int]]) -> Segments:
     """Split segments at their marks; sub-marks ordered along the segment
-    (iOverlay/src/split/solver.rs:158-302). Degenerate sub-segments dropped."""
+    (iOverlay/src/split/solver.rs:158-302): x ascending, y toward b at equal x.
+    Degenerate sub-segments (marks equal to an endpoint, duplicates) dropped.
+    Vectorized: dedupe + per-segment ordering via one lexsort, chains assembled
+    as one flat (a, marks..., b) point array, consecutive pairs by slicing —
+    the per-mark python walk this replaces (kept as _apply_marks_ref, the
+    differential ground truth) dominated heavy split rounds."""
+    if not len(marks):
+        return segs
+    m = np.asarray(marks, dtype=np.int64).reshape(-1, 3)
+    mi, mx, my = m[:, 0], m[:, 1], m[:, 2]
+    # drop marks at the segment's own endpoints
+    at_end = ((mx == segs.ax[mi]) & (my == segs.ay[mi])) | (
+        (mx == segs.bx[mi]) & (my == segs.by[mi])
+    )
+    keep_mask = np.ones(len(segs), dtype=bool)
+    keep_mask[mi] = False  # any marked segment is rebuilt (even endpoint-only
+    # marks: the scalar walk also dropped and re-emitted it unchanged — but it
+    # re-emitted the SAME segment, so keep those instead
+    endpoint_only = np.setdiff1d(mi[at_end], mi[~at_end])
+    keep_mask[endpoint_only] = True
+    mi, mx, my = mi[~at_end], mx[~at_end], my[~at_end]
+    if len(mi) == 0:
+        return segs
+    # order along the segment, then dedupe identical (seg, point) triples
+    ysign = np.where(segs.by[mi] >= segs.ay[mi], 1, -1)
+    order = np.lexsort((ysign * my, mx, mi))
+    mi, mx, my = mi[order], mx[order], my[order]
+    dup = np.concatenate(
+        [[False], (mi[1:] == mi[:-1]) & (mx[1:] == mx[:-1]) & (my[1:] == my[:-1])]
+    )
+    mi, mx, my = mi[~dup], mx[~dup], my[~dup]
+    # flat chains: for each marked segment (ascending index, matching the
+    # sorted mi runs): a, its marks in order, b
+    seg_ids, counts = np.unique(mi, return_counts=True)
+    k = len(seg_ids)
+    tot = int(counts.sum()) + 2 * k
+    px = np.empty(tot, dtype=np.int64)
+    py = np.empty(tot, dtype=np.int64)
+    bounds = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts + 2)])
+    px[bounds[:-1]] = segs.ax[seg_ids]
+    py[bounds[:-1]] = segs.ay[seg_ids]
+    px[bounds[1:] - 1] = segs.bx[seg_ids]
+    py[bounds[1:] - 1] = segs.by[seg_ids]
+    mark_pos = np.arange(len(mi), dtype=np.int64)
+    run_start = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])[:-1]
+    owner = np.searchsorted(run_start, mark_pos, side="right") - 1
+    px[bounds[owner] + 1 + (mark_pos - run_start[owner])] = mx
+    py[bounds[owner] + 1 + (mark_pos - run_start[owner])] = my
+    # consecutive pairs within each chain (drop the seam between chains)
+    idx = np.arange(tot - 1, dtype=np.int64)
+    chain = np.searchsorted(bounds, idx, side="right") - 1
+    inner = idx != bounds[chain + 1] - 1
+    ax0, ay0 = px[:-1][inner], py[:-1][inner]
+    bx0, by0 = px[1:][inner], py[1:][inner]
+    so = segs.subj[seg_ids[chain[inner]]]
+    co = segs.clip[seg_ids[chain[inner]]]
+    # re-normalize: original direction a->b is "forward"; a sub-segment keeps
+    # the original count if still forward after a<b normalization, else negates
+    fwd = (ax0 < bx0) | ((ax0 == bx0) & (ay0 < by0))
+    nax = np.where(fwd, ax0, bx0)
+    nay = np.where(fwd, ay0, by0)
+    nbx = np.where(fwd, bx0, ax0)
+    nby = np.where(fwd, by0, ay0)
+    nz = (nax != nbx) | (nay != nby)
+    base = segs.take(np.flatnonzero(keep_mask))
+    extra = Segments(
+        nax[nz],
+        nay[nz],
+        nbx[nz],
+        nby[nz],
+        np.where(fwd, so, -so)[nz],
+        np.where(fwd, co, -co)[nz],
+    )
+    return Segments.concat([base, extra])
+
+
+def _apply_marks_ref(segs: Segments, marks: list[tuple[int, int, int]]) -> Segments:
+    """Scalar reference implementation of _apply_marks (differential tests)."""
     by_seg: dict[int, set[tuple[int, int]]] = {}
     for idx, x, y in marks:
         by_seg.setdefault(idx, set()).add((x, y))

@@ -210,3 +210,56 @@ def test_grid_candidates_match_xwindow():
         g = sp._candidate_pairs_grid(s, ymin, ymax, 1 << 62)
         assert g is not None
         assert set(map(tuple, xw.tolist())) == set(map(tuple, g.tolist()))
+
+
+def test_apply_marks_matches_scalar_reference():
+    """Vectorized _apply_marks must produce the same multiset of sub-segments
+    as the scalar walk (endpoint marks, duplicates, reversed sub-directions)."""
+    import numpy as np
+
+    from ioverlay_spark.kernel.segments import Segments
+    from ioverlay_spark.kernel.split import _apply_marks, _apply_marks_ref
+
+    rng = np.random.default_rng(13)
+
+    def canon(s):
+        a = np.stack([s.ax, s.ay, s.bx, s.by, s.subj, s.clip], axis=1)
+        return sorted(map(tuple, a.tolist()))
+
+    for _ in range(60):
+        n = int(rng.integers(2, 40))
+        ax = rng.integers(-50, 50, n)
+        bx = ax + rng.integers(0, 30, n)
+        ay = rng.integers(-50, 50, n)
+        by = ay + rng.integers(-30, 30, n)
+        by = np.where((ax == bx) & (ay == by), ay + 1, by)
+        swap = (bx < ax) | ((bx == ax) & (by < ay))
+        s = Segments(
+            np.where(swap, bx, ax).astype(np.int64),
+            np.where(swap, by, ay).astype(np.int64),
+            np.where(swap, ax, bx).astype(np.int64),
+            np.where(swap, ay, by).astype(np.int64),
+            rng.integers(-3, 4, n).astype(np.int64),
+            rng.integers(-3, 4, n).astype(np.int64),
+        )
+        marks = []
+        for _ in range(int(rng.integers(0, 60))):
+            i = int(rng.integers(0, n))
+            if rng.random() < 0.25:
+                marks.append(
+                    (i, int(s.ax[i]), int(s.ay[i]))
+                    if rng.random() < 0.5
+                    else (i, int(s.bx[i]), int(s.by[i]))
+                )
+            else:
+                t = rng.random()
+                marks.append(
+                    (
+                        i,
+                        int(round(s.ax[i] + t * (s.bx[i] - s.ax[i]))),
+                        int(round(s.ay[i] + t * (s.by[i] - s.ay[i]))),
+                    )
+                )
+            if rng.random() < 0.3 and marks:
+                marks.append(marks[-1])
+        assert canon(_apply_marks(s, marks)) == canon(_apply_marks_ref(s, marks))
