@@ -183,13 +183,9 @@ def _windings_sweep(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
     wind_c = [0] * n
     active: list[int] = []  # non-vertical indices, ascending y at current X
 
-    def below_strict(u: int, X: int, T: int) -> bool:
-        # doubled-y of u at doubled-x X is (2*ay*dt + dy*(X-2*ax)) / dt; u is
-        # strictly below the integer doubled-y T iff num < T*dt (dt > 0)
-        axu = ax[u]
-        dt = bx[u] - axu
-        return 2 * ay[u] * dt + (by[u] - ay[u]) * (X - 2 * axu) < T * dt
-
+    # comparisons inline: doubled-y of u at doubled-x X is
+    # (2*ay*dt + dy*(X-2*ax)) / dt; u is strictly below the integer doubled-y
+    # T iff num < T*dt (dt > 0) — one side is always an integer event point
     for X, kind, _y0, i in events:
         if kind == 0:
             # remove i: locate by its END point (exact integer y), then scan the
@@ -198,7 +194,11 @@ def _windings_sweep(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
             lo, hi = 0, len(active)
             while lo < hi:
                 mid = (lo + hi) // 2
-                if below_strict(active[mid], X, T):
+                u = active[mid]
+                axu = ax[u]
+                ayu = ay[u]
+                dt = bx[u] - axu
+                if 2 * ayu * dt + (by[u] - ayu) * (X - 2 * axu) < T * dt:
                     lo = mid + 1
                 else:
                     hi = mid
@@ -236,7 +236,11 @@ def _windings_sweep(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
             lo, hi = 0, len(active)
             while lo < hi:
                 mid = (lo + hi) // 2
-                if below_strict(active[mid], X, T):
+                u = active[mid]
+                axu = ax[u]
+                ayu = ay[u]
+                dt = bx[u] - axu
+                if 2 * ayu * dt + (by[u] - ayu) * (X - 2 * axu) < T * dt:
                     lo = mid + 1
                 else:
                     hi = mid
