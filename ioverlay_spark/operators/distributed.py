@@ -310,24 +310,28 @@ def apply_marks_df(
     j = segs.join(grouped, ["ax", "ay", "bx", "by"], "left")
 
     # sort key: x asc, then y toward b (sign of by-ay); marks equal to endpoints
-    # drop. The sort uses DEFAULT struct ordering on a computed key field — a
-    # comparator lambda here would be interpreted per comparison (no codegen) and
-    # dominates wall-clock when segments carry hundreds of marks.
+    # drop via an O(n) filter — collect_set already guarantees uniqueness, and
+    # the array_distinct this replaces is O(n^2) interpreted struct comparisons
+    # (measured: a 2.1M-mark lines_net round spent ~60 s in it — ~1.1 billion
+    # comparisons over 512-mark chains). The sort uses DEFAULT struct ordering
+    # on a computed key field — a comparator lambda here would be interpreted
+    # per comparison (no codegen) and dominates wall-clock when segments carry
+    # hundreds of marks.
     chain = """
-      array_distinct(
-        concat(
-          array(struct(ax AS px, ay AS py)),
-          transform(
-            array_sort(
-              transform(coalesce(mks, array()),
-                        m -> struct(m.px AS px,
-                                    CASE WHEN by >= ay THEN m.py ELSE -m.py END AS k,
-                                    m.py AS py))
-            ),
-            s -> struct(s.px AS px, s.py AS py)
+      concat(
+        array(struct(ax AS px, ay AS py)),
+        transform(
+          array_sort(
+            transform(
+              filter(coalesce(mks, array()),
+                     m -> NOT ((m.px = ax AND m.py = ay) OR (m.px = bx AND m.py = by))),
+              m -> struct(m.px AS px,
+                          CASE WHEN by >= ay THEN m.py ELSE -m.py END AS k,
+                          m.py AS py))
           ),
-          array(struct(bx AS px, by AS py))
-        )
+          s -> struct(s.px AS px, s.py AS py)
+        ),
+        array(struct(bx AS px, by AS py))
       )
     """
     # Pair CONSECUTIVE chain points MAP-SIDE: zip the chain with itself shifted
@@ -340,7 +344,8 @@ def apply_marks_df(
     # the chain to a lambda variable via transform(array(<chain>), ch -> ...)
     # evaluates it exactly ONCE per row; inside the lambda `ch` is a variable
     # reference, not a re-inlined expression. Adjacent chain elements are
-    # distinct by construction (array_distinct), so no p != q filter is needed.
+    # distinct by construction (unique mark set + endpoint filter), so no
+    # p != q filter is needed.
     pairs = f"""
     flatten(transform(array({chain}), ch ->
       zip_with(slice(ch, 1, size(ch) - 1), slice(ch, 2, size(ch)),
