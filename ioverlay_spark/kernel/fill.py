@@ -322,7 +322,9 @@ def _windings_grouped(
     return wind_s, wind_c
 
 
-def compute_fills_windowed(segs: Segments, fill_rule: FillRule) -> np.ndarray:
+def compute_fills_windowed(
+    segs: Segments, fill_rule: FillRule, allow_sweep: bool = True
+) -> np.ndarray:
     """compute_fills with an x-window candidate bound: the downward ray at a
     segment's doubled midpoint Xi only crosses segments t with
     2*ax[t] <= Xi < 2*bx[t], and since bx[t] <= ax[t] + maxlen within a
@@ -344,9 +346,11 @@ def compute_fills_windowed(segs: Segments, fill_rule: FillRule) -> np.ndarray:
         int(bx.max() - x0), int(by.max() - y0), int(ay.max() - y0), 1
     )
     if 4 * extent * extent >= (1 << 62):
-        # python-int sweep: exact at any scale and O(n log n), vs the dense
-        # object-int matrix the windowed path would otherwise need here
-        return compute_fills_sweep(segs, fill_rule)
+        if allow_sweep:
+            # python-int sweep: exact at any scale and O(n log n), vs the
+            # dense object-int matrix the windowed path would otherwise need
+            return compute_fills_sweep(segs, fill_rule)
+        return compute_fills(segs, fill_rule)  # object-int path
     # grouped-by-ray-x path: when rays share few distinct midpoints (grid-like
     # data — exactly the shape that lands in narrow x-strips of the distributed
     # fill), per-unique-Xi sorted activation thresholds beat both the dense
@@ -396,10 +400,16 @@ def compute_fills_windowed(segs: Segments, fill_rule: FillRule) -> np.ndarray:
             classes.append((idx, lo, counts))
         if 2 * est >= n * len(nv):
             return compute_fills(segs, fill_rule)
-        if est > 96 * n:
+        if allow_sweep and est > 96 * n:
             # dense active sets (spiral-like bands): the O(n log n) sweep beats
             # the O(est) candidate scan — crossover measured at est/n ~ 110
-            # (BENCH.md spiral audit)
+            # (BENCH.md spiral audit). allow_sweep=False for SUBSET callers
+            # (the distributed x-strip kernel): sweep windings propagate at
+            # INSERTION x, which needs the full set — a strip group only holds
+            # segments crossing the strip, so a segment extending outside it
+            # would read an incomplete active set. The ray-at-midpoint paths
+            # are immune (every candidate crossing a home midpoint crosses the
+            # strip).
             return compute_fills_sweep(segs, fill_rule)
         block = 4_000_000
         for idx, lo, counts in classes:

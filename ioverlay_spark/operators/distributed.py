@@ -452,7 +452,9 @@ def _strip_fill_kernel(fill_rule: FillRule):
             pdf["subj"].to_numpy(),
             pdf["clip"].to_numpy(),
         )
-        fills = compute_fills_windowed(segs, fill_rule)
+        # allow_sweep=False: the group is a strip SUBSET of the global segment
+        # set — only the ray-at-midpoint formulations are subset-safe
+        fills = compute_fills_windowed(segs, fill_rule, allow_sweep=False)
         mask = pdf["is_home"].to_numpy()
         out = pdf.loc[mask, ["ax", "ay", "bx", "by", "subj", "clip"]].copy()
         out["fill"] = fills[mask].astype("int32")

@@ -112,6 +112,67 @@ def test_distributed_fills_match_kernel(spark, board):
     assert got == exp
 
 
+def test_distributed_fills_match_kernel_long_chords(spark):
+    """Regression: the strip fill must NOT use the sweep path (sweep windings
+    propagate at insertion x, which needs the FULL set — a strip group only
+    holds segments crossing the strip). Long dense chords are exactly the
+    inputs whose est/n would trigger the sweep dispatch; seen as a wrong ring
+    count on the distributed spiral audit."""
+    import math
+
+    import numpy as np
+
+    from ioverlay_spark.kernel import compute_fills
+    from ioverlay_spark.options import FillRule
+    from ioverlay_spark.operators.distributed import (
+        compute_fills_df,
+        contours_to_segments_df,
+        split_segments_df,
+    )
+
+    # zigzag spiral band (the reference test_3_spiral geometry, small n)
+    a_path, b_path = [], []
+    a, r, radius = 0.0, 100.0, 100.0
+    w = 0.1 * radius
+    p0 = np.array([0.0, 0.0])
+    for i in range(2048):
+        sx, sy = math.cos(a), math.sin(a)
+        rr = r + 0.2 * radius if i % 2 == 0 else r - 0.2 * radius
+        p = np.array([rr * sx, rr * sy])
+        d = p - p0
+        nrm = d / math.hypot(d[0], d[1])
+        t = np.array([w * -nrm[1], w * nrm[0]])
+        a_path += [p0 + t, p + t]
+        b_path += [p0 - t, p - t]
+        a += radius / r
+        r = radius * (1.0 + a / (2.0 * math.pi))
+        p0 = p
+    ring = np.round(np.array(a_path + b_path[::-1]) * 500).astype(np.int64)
+    df = spark.createDataFrame(
+        [("subject", 0, ring[:, 0].tolist(), ring[:, 1].tolist())],
+        ["role", "cid", "pts_x", "pts_y"],
+    )
+    split = split_segments_df(contours_to_segments_df(spark, df))
+    fills = compute_fills_df(split, FillRule.NON_ZERO, n_strips=5).toPandas()
+    pdf = split.toPandas()
+    from ioverlay_spark.kernel.segments import Segments
+
+    ker = Segments(
+        pdf["ax"].to_numpy(np.int64),
+        pdf["ay"].to_numpy(np.int64),
+        pdf["bx"].to_numpy(np.int64),
+        pdf["by"].to_numpy(np.int64),
+        pdf["subj"].to_numpy(np.int64),
+        pdf["clip"].to_numpy(np.int64),
+    )
+    kf = compute_fills(ker, FillRule.NON_ZERO)
+    exp = sorted(
+        zip(ker.ax.tolist(), ker.ay.tolist(), ker.bx.tolist(), ker.by.tolist(), kf.tolist())
+    )
+    got = sorted(map(tuple, fills[["ax", "ay", "bx", "by", "fill"]].to_numpy().tolist()))
+    assert got == exp
+
+
 @pytest.mark.parametrize("rule_name", ["xor", "union", "intersect", "difference"])
 def test_distributed_extract_matches_kernel_areas(spark, board, rule_name):
     subj, clip, df = board
