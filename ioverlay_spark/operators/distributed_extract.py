@@ -203,6 +203,8 @@ def _extract_kernel(rule: OverlayRule, options: OverlayOptions):
     clockwise = options.output_direction == ContourDirection.CLOCKWISE
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernel.extract import _LinkGraph, boundary_mask
+
         rows = []
         min_area2 = 2 * options.min_output_area
         # globally-unique ring ids without arithmetic on component ids (packed
@@ -210,26 +212,40 @@ def _extract_kernel(rule: OverlayRule, options: OverlayOptions):
         # salt-group id (disjoint across kernel invocations) and a local counter
         salt = int(pdf["_salt"].iloc[0]) if "_salt" in pdf.columns else 0
         ring_seq = 0
-        for comp, grp in pdf.groupby("component", sort=False):
-            comp = int(comp)
-            order = np.lexsort(
-                (
-                    grp["by"].to_numpy(),
-                    grp["bx"].to_numpy(),
-                    grp["ay"].to_numpy(),
-                    grp["ax"].to_numpy(),
-                )
+        if not len(pdf):
+            return pd.DataFrame(
+                rows,
+                columns=[
+                    "component", "ring_id", "is_hole", "pts_x", "pts_y",
+                    "area2", "anchor_x", "anchor_y",
+                ],
             )
-            segs = Segments(
-                grp["ax"].to_numpy()[order],
-                grp["ay"].to_numpy()[order],
-                grp["bx"].to_numpy()[order],
-                grp["by"].to_numpy()[order],
-                grp["subj"].to_numpy()[order],
-                grp["clip"].to_numpy()[order],
-            )
-            fills = grp["fill"].to_numpy()[order].astype(np.uint8)
-            contours = walk_contours(segs, fills, rule, clockwise)
+        # ONE lexsort over the whole salt group + flat per-component list
+        # slices (the batch kernel's shape): a pandas groupby with per-
+        # component numpy gathers cost ~68us per 4-edge component on lines_net
+        comp_arr = pdf["component"].to_numpy(np.int64)
+        axv = pdf["ax"].to_numpy(np.int64)
+        ayv = pdf["ay"].to_numpy(np.int64)
+        bxv = pdf["bx"].to_numpy(np.int64)
+        byv = pdf["by"].to_numpy(np.int64)
+        order = np.lexsort((byv, bxv, ayv, axv, comp_arr))
+        comp_arr = comp_arr[order]
+        axv, ayv, bxv, byv = axv[order], ayv[order], bxv[order], byv[order]
+        fills_arr = pdf["fill"].to_numpy()[order].astype(np.uint8)
+        bmask = boundary_mask(fills_arr, rule)
+        starts = np.flatnonzero(
+            np.concatenate([[True], comp_arr[1:] != comp_arr[:-1]])
+        )
+        bounds = np.concatenate([starts, [len(comp_arr)]])
+        all_pa = list(zip(axv.tolist(), ayv.tolist()))
+        all_pb = list(zip(bxv.tolist(), byv.tolist()))
+        all_fl = fills_arr.tolist()
+        comps = comp_arr[starts].tolist()
+        for ci in range(len(starts)):
+            lo, hi = int(bounds[ci]), int(bounds[ci + 1])
+            comp = int(comps[ci])
+            g = _LinkGraph(all_pa[lo:hi], all_pb[lo:hi], all_fl[lo:hi])
+            contours = walk_contours(None, None, rule, clockwise, bmask[lo:hi], g)
             for i, (ring, hole) in enumerate(contours):
                 if not options.preserve_output_collinear:
                     ring = simplify_ring(list(ring))
