@@ -251,6 +251,202 @@ def _windings_sweep(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
     return np.array(wind_s, dtype=np.int64), np.array(wind_c, dtype=np.int64)
 
 
+def _windings_segtree(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized O((n+q) log^2 n) midpoint-ray windings via a segment tree over
+    x-intervals (the numpy replacement for the per-event python loop in
+    _windings_sweep, VERDICT r03 #2).
+
+    Each non-vertical segment covers the elementary x-intervals between its
+    doubled endpoints; the canonical decomposition assigns it to <=2 tree nodes
+    per level (the classic iterative l+=n/r+=n walk, vectorized across all
+    segments at once). Within a node every member spans the node's whole
+    x-interval and no two members cross or touch there (post-split invariant),
+    so members are TOTALLY y-ordered throughout the interval: they are sorted
+    once by their exact rational y at the node midpoint (int64 floor + remainder
+    key, float tiebreak, exact adjacent verification with a python re-sort of
+    the rare float-ambiguous nodes). A downward ray at doubled-x Xi then crosses,
+    within each node on Xi's root-to-leaf path, exactly a PREFIX of that node's
+    members (order is monotone at every x in the node), found by vectorized
+    binary search with the same exact integer point-vs-segment predicate as
+    _windings_below; per-node prefix weight sums finish the count.
+
+    Unlike the sweep this is ray-at-midpoint semantics (identical to
+    _windings_below), hence valid on strip SUBSETS too — the distributed
+    x-strip kernel can use it where the sweep is gated off (BENCH.md round-3
+    subset trap). int64-only: callers must have applied the 4*extent^2 < 2^62
+    gate (all products here are bounded by 8*extent^2 < 2^63 given that gate).
+    """
+    n = len(segs)
+    wind_s = np.zeros(n, dtype=np.int64)
+    wind_c = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return wind_s, wind_c
+    ax, ay, bx, by = segs.ax, segs.ay, segs.bx, segs.by
+    x0 = min(int(ax.min()), int(bx.min()))
+    y0 = min(int(ay.min()), int(by.min()))
+    tax = ax - x0
+    tay = ay - y0
+    tbx = bx - x0
+    tby = by - y0
+    mem = np.flatnonzero(tbx > tax)
+    if len(mem) == 0:
+        return wind_s, wind_c
+    B = np.unique(np.concatenate([2 * tax[mem], 2 * tbx[mem]]))
+    nL = len(B) - 1
+    nP = 1 << max(0, int(nL - 1).bit_length())
+    lo_leaf = np.searchsorted(B, 2 * tax[mem])
+    hi_leaf = np.searchsorted(B, 2 * tbx[mem])
+
+    # canonical decomposition, all segments in lockstep (<=2 nodes/level each)
+    left = lo_leaf + nP
+    right = hi_leaf + nP
+    nodes_parts: list[np.ndarray] = []
+    segs_parts: list[np.ndarray] = []
+    while True:
+        act = left < right
+        if not act.any():
+            break
+        ml = act & ((left & 1) == 1)
+        if ml.any():
+            nodes_parts.append(left[ml].copy())
+            segs_parts.append(mem[ml])
+        left = left + ml
+        mr = act & ((right & 1) == 1)
+        right = right - mr
+        if mr.any():
+            nodes_parts.append(right[mr].copy())
+            segs_parts.append(mem[mr])
+        left = left >> 1
+        right = right >> 1
+    node = np.concatenate(nodes_parts)
+    sid = np.concatenate(segs_parts)
+
+    # node x-interval midpoint (exact rational NUM/DEN, local coords); 2-key
+    # sort (node, float y) — exact adjacent verification below repairs the
+    # rare float-ambiguous nodes
+    depth = np.frexp(node.astype(np.float64))[1] - 1  # floor(log2 node), exact
+    szlog = (int(nP).bit_length() - 1) - depth
+    nlo = (node << szlog) - nP
+    nhi = np.minimum(nlo + (np.int64(1) << szlog), nL)
+    m_num = B[nlo] + B[nhi]
+    edt = (tbx - tax)[sid]
+    edy = (tby - tay)[sid]
+    NUM = 4 * tay[sid] * edt + edy * (m_num - 4 * tax[sid])
+    DEN = 2 * edt
+    # single composite float64 sort key (node + y normalized to [0,1)) is ~5x
+    # a 2-key lexsort; node grouping is verified exactly below (float rounding
+    # near 1.0 could spill an entry into the next node) with lexsort fallback,
+    # and within-node order is exact-verified/repaired either way
+    yf = NUM / DEN
+    ylo = float(yf.min())
+    yspan = float(yf.max()) - ylo
+    frac = (yf - ylo) / (yspan * (1.0 + 1e-6) + 1e-300)
+    order = np.argsort(node + frac, kind="stable")
+    if not np.all(np.diff(node[order]) >= 0):
+        order = np.lexsort((yf, node))
+    node = node[order]
+    sid = sid[order]
+    NUM = NUM[order]
+    DEN = DEN[order]
+    # exact adjacent verification of the float order (transitivity makes
+    # adjacent checks sufficient): y_i <= y_j  <=>  (q, r*DEN-cross) ordered
+    qk = NUM // DEN
+    rk = NUM - qk * DEN
+    same = node[1:] == node[:-1]
+    inv = same & (
+        (qk[1:] < qk[:-1])
+        | ((qk[1:] == qk[:-1]) & (rk[:-1] * DEN[1:] > rk[1:] * DEN[:-1]))
+    )
+    if inv.any():
+        import functools
+
+        bad_nodes = np.unique(node[:-1][inv])
+        for v in bad_nodes.tolist():
+            s = int(np.searchsorted(node, v, side="left"))
+            e = int(np.searchsorted(node, v, side="right"))
+
+            def _less(i, j):
+                if qk[i] != qk[j]:
+                    return -1 if qk[i] < qk[j] else 1
+                lhs = int(rk[i]) * int(DEN[j])
+                rhs = int(rk[j]) * int(DEN[i])
+                return -1 if lhs < rhs else (1 if lhs > rhs else 0)
+
+            idx = sorted(range(s, e), key=functools.cmp_to_key(_less))
+            sid[s:e] = sid[idx]
+            qk[s:e] = qk[idx]
+            rk[s:e] = rk[idx]
+            DEN[s:e] = DEN[idx]
+
+    # CSR over node-id space; predicate operands as four 1-D arrays (numpy's
+    # 1-D integer gather is ~2x a 2-D row gather — measured) with pairs sorted
+    # by node below so the gathers are quasi-sequential
+    n_nodes = 2 * nP
+    cnt = np.bincount(node, minlength=n_nodes)
+    start = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.cumsum(cnt, out=start[1:])
+    edt = (tbx - tax)[sid]
+    enum0 = 2 * tay[sid] * edt
+    edy = (tby - tay)[sid]
+    eax2 = 2 * tax[sid]
+    cs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(segs.subj[sid])])
+    cc = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(segs.clip[sid])])
+
+    # queries: every segment's doubled midpoint; the root-to-leaf path is one
+    # broadcast shift matrix (all leaves share the tree depth), filtered to
+    # nonempty nodes, then node-sorted for gather locality
+    Xi = tax + tbx
+    Ti = tay + tby
+    p = np.searchsorted(B, Xi, side="right") - 1
+    qs = np.flatnonzero((p >= 0) & (p < nL))
+    if len(qs) == 0:
+        return wind_s, wind_c
+    levels = int(nP).bit_length()  # leaf v in [nP, 2nP) -> levels shifts to 1
+    VS = (p[qs] + nP)[None, :] >> np.arange(levels, dtype=np.int64)[:, None]
+    PQ = np.broadcast_to(qs[None, :], VS.shape).reshape(-1)
+    PV = VS.reshape(-1)
+    nz = cnt[PV] > 0
+    PQ = PQ[nz]
+    PV = PV[nz]
+    if len(PQ) == 0:
+        return wind_s, wind_c
+    byv = np.argsort(PV, kind="stable")
+    PQ = PQ[byv]
+    PV = PV[byv]
+    plo = start[PV].copy()
+    phi = plo + cnt[PV]
+    Xq = Xi[PQ]
+    Tq = Ti[PQ]
+    act = np.flatnonzero(plo < phi)
+    lo_a = plo[act]
+    hi_a = phi[act]
+    Xa = Xq[act]
+    Ta = Tq[act]
+    while len(act):
+        mid = (lo_a + hi_a) >> 1
+        pred = enum0[mid] + edy[mid] * (Xa - eax2[mid]) < Ta * edt[mid]
+        lo_a[pred] = mid[pred] + 1
+        np.putmask(hi_a, ~pred, mid)
+        live = lo_a < hi_a
+        if not live.all():
+            plo[act] = lo_a
+            act = act[live]
+            lo_a = lo_a[live]
+            hi_a = hi_a[live]
+            Xa = Xa[live]
+            Ta = Ta[live]
+    base = start[PV]
+    wind_s += np.bincount(PQ, weights=(cs[plo] - cs[base]).astype(np.float64), minlength=n).astype(np.int64)
+    wind_c += np.bincount(PQ, weights=(cc[plo] - cc[base]).astype(np.float64), minlength=n).astype(np.int64)
+    return wind_s, wind_c
+
+
+def compute_fills_segtree(segs: Segments, fill_rule: FillRule) -> np.ndarray:
+    """Segment-tree fill (see _windings_segtree): vectorized, subset-safe."""
+    wind_s, wind_c = _windings_segtree(segs)
+    return _fill_bits(segs, wind_s, wind_c, fill_rule)
+
+
 def _fill_bits(segs: Segments, wind_s, wind_c, fill_rule: FillRule) -> np.ndarray:
     top_s = wind_s + segs.subj
     top_c = wind_c + segs.clip
@@ -400,17 +596,15 @@ def compute_fills_windowed(
             classes.append((idx, lo, counts))
         if 2 * est >= n * len(nv):
             return compute_fills(segs, fill_rule)
-        if allow_sweep and est > 96 * n:
-            # dense active sets (spiral-like bands): the O(n log n) sweep beats
-            # the O(est) candidate scan — crossover measured at est/n ~ 110
-            # (BENCH.md spiral audit). allow_sweep=False for SUBSET callers
-            # (the distributed x-strip kernel): sweep windings propagate at
-            # INSERTION x, which needs the full set — a strip group only holds
-            # segments crossing the strip, so a segment extending outside it
-            # would read an incomplete active set. The ray-at-midpoint paths
-            # are immune (every candidate crossing a home midpoint crosses the
-            # strip).
-            return compute_fills_sweep(segs, fill_rule)
+        if est > 32 * n:
+            # dense active sets (spiral-like bands): the vectorized segment
+            # tree (O((n+q) log^2 n), _windings_segtree) beats the O(est)
+            # candidate scan; unlike the python sweep it is ray-at-midpoint
+            # semantics, so it is valid on strip SUBSETS too (the
+            # allow_sweep=False callers) — the r03 sweep-subset trap does not
+            # apply. Crossover vs the windowed scan measured at est/n ~ 32
+            # (BENCH.md round-4 audit).
+            return compute_fills_segtree(segs, fill_rule)
         block = 4_000_000
         for idx, lo, counts in classes:
             cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])

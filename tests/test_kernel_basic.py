@@ -143,6 +143,52 @@ def test_windowed_fills_match_dense():
             )
 
 
+def test_segtree_fills_match_dense():
+    """compute_fills_segtree (the vectorized segment-tree ray-shoot that
+    replaces the python sweep on dense int64-extent sets) must be bit-identical
+    to compute_fills on post-split sets — shared-node soups, verticals,
+    negative windings — AND on strip SUBSETS (ray-at-midpoint semantics, so the
+    r03 sweep-subset trap must not apply to it)."""
+    import numpy as np
+
+    from ioverlay_spark.kernel.fill import compute_fills, compute_fills_segtree
+    from ioverlay_spark.kernel.segments import Segments, build_segments
+    from ioverlay_spark.kernel.split import split_segments
+    from ioverlay_spark.options import FillRule
+
+    rng = np.random.default_rng(17)
+    for trial in range(30):
+        base = 0 if trial % 3 else int(rng.integers(1, 1 << 28))
+        span = 40 if trial % 3 else 50
+        nring = int(rng.integers(1, 5))
+        mk = lambda: base + rng.integers(-span, span, (int(rng.integers(3, 9)), 2)).astype(
+            np.int64
+        )
+        segs = split_segments(
+            Segments.concat(
+                [
+                    build_segments([mk() for _ in range(nring)], True),
+                    build_segments([mk() for _ in range(nring)], False),
+                ]
+            )
+        )
+        for fr in FillRule:
+            assert np.array_equal(compute_fills(segs, fr), compute_fills_segtree(segs, fr))
+        # subset safety: an arbitrary x-slice of the set (the distributed
+        # strip kernel's shape) must still match the dense fill ON THE SUBSET
+        if len(segs) >= 4:
+            mid = int(np.median(segs.ax))
+            keep = np.flatnonzero((segs.bx >= mid) | (segs.ax <= mid))
+            sub = Segments(
+                segs.ax[keep], segs.ay[keep], segs.bx[keep], segs.by[keep],
+                segs.subj[keep], segs.clip[keep],
+            )
+            assert np.array_equal(
+                compute_fills(sub, FillRule.NON_ZERO),
+                compute_fills_segtree(sub, FillRule.NON_ZERO),
+            )
+
+
 def test_sweep_fills_match_dense():
     """compute_fills_sweep must be bit-identical to compute_fills on post-split
     sets — dense shared-node soups, verticals, negative windings, and
