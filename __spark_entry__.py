@@ -73,15 +73,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Emitted LAST: queries whose loss under the driver's 50-query cap costs the
-# least evidence. Round-3 rotation (VERDICT r02 Next #8): the five brute-force
-# baselines that were capped out of r01/r02 move INTO the checked window so
-# every registered query has at least one green driver row across rounds; five
-# simple queries that passed rows+schema+hash in BOTH r01 and r02
-# (CORRECTNESS_r01/r02.json) take their place in the tail.
-# (57 registered, cap 50 -> 7 tail rows, all of them green in r01 AND r02)
+# least evidence. Round-4 rotation (VERDICT r03 Next #8, freshness <= 2 rounds
+# for every query): the round-3 tail (segments_build/segments_merge/cell_index/
+# cell_cover/ring_area/tile_assign/relate_rects, green in r01+r02 but unchecked
+# in r03) moves INTO the checked window; seven queries that passed
+# rows+schema+hash in r03 (CORRECTNESS_r03.json) take the tail, so after r04
+# every registered query has a green driver row in r03 or r04.
+# (57 registered, cap 50 -> 7 tail rows, all of them green in r03)
 _TAIL = [
-    "segments_build", "segments_merge", "cell_index", "cell_cover",
-    "ring_area", "tile_assign", "relate_rects",
+    "knn", "embed_knn", "embed_neardup", "ngram_jaccard",
+    "lang_stats", "simhash", "token_stats",
 ]
 
 

@@ -72,7 +72,7 @@ def _candidates_vec(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
     return i_rep[m], j[m]
 
 
-def interacting_mask(ax, ay, bx, by, cx, cy, dx_, dy_) -> np.ndarray:
+def interacting_mask(ax, ay, bx, by, cx, cy, dx_, dy_, with_collinear: bool = False):
     """Vectorized orientation-sign prefilter over PAIRED endpoint arrays
     (first segment (ax,ay)-(bx,by), second (cx,cy)-(dx_,dy_); both a<b
     normalized): True exactly when cross_pair can emit marks — mirrors the
@@ -102,7 +102,14 @@ def interacting_mask(ax, ay, bx, by, cx, cy, dx_, dy_) -> np.ndarray:
     nx = np.where(b_le_d, bx, dx_)
     ny = np.where(b_le_d, by, dy_)
     collinear_overlap = lex_lt(mx, my, nx, ny)
-    return ((s == 4) & collinear_overlap) | ((s <= 1) & (o1 != o2) & (o3 != o4))
+    coll = (s == 4) & collinear_overlap
+    keep = coll | ((s <= 1) & (o1 != o2) & (o3 != o4))
+    if with_collinear:
+        # collinear-overlap pairs are the ONLY source of coincident
+        # sub-segments after a split round (sub-segments lie on their parent's
+        # line) — callers use this to skip the post-apply coincident merge
+        return keep, coll
+    return keep
 
 
 def _interacting(segs: Segments, i: np.ndarray, j: np.ndarray) -> np.ndarray:

@@ -53,6 +53,9 @@ MARKS_SCHEMA = StructType(
         StructField("px", LongType()),
         StructField("py", LongType()),
         StructField("is_round", BooleanType()),
+        # mark came from a collinear-overlap pair — the only pair class whose
+        # sub-segments can coincide after apply (gates the post-apply merge)
+        StructField("col_ovl", BooleanType()),
     ]
 )
 
@@ -146,20 +149,23 @@ def _find_marks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                 & (bx[i_rep] == bx[j]) & (by[i_rep] == by[j])
             )
             i_rep, j = i_rep[~same], j[~same]
-            keep = interacting_mask(
-                ax[i_rep], ay[i_rep], bx[i_rep], by[i_rep], ax[j], ay[j], bx[j], by[j]
+            keep, coll = interacting_mask(
+                ax[i_rep], ay[i_rep], bx[i_rep], by[i_rep], ax[j], ay[j], bx[j], by[j],
+                with_collinear=True,
             )
-            i_rep, j = i_rep[keep], j[keep]
+            i_rep, j, coll = i_rep[keep], j[keep], coll[keep]
             if len(i_rep) == 0:
                 continue
             if scalar:
+                # wide-coordinate fallback: conservatively flag every mark as
+                # collinear-capable (the merge always runs)
                 for i, jj in zip(i_rep.tolist(), j.tolist()):
                     ti = (int(ax[i]), int(ay[i]), int(bx[i]), int(by[i]))
                     tj = (int(ax[jj]), int(ay[jj]), int(bx[jj]), int(by[jj]))
                     pm, rnd = cross_pair(ti, tj, 2)
                     for which, x, y in pm:
                         t = ti if which == 0 else tj
-                        rows.append((t[0], t[1], t[2], t[3], x, y, rnd))
+                        rows.append((t[0], t[1], t[2], t[3], x, y, rnd, True))
             else:
                 pid, which, mx, my, rnd = cross_pairs_batch(
                     ax[i_rep], ay[i_rep], bx[i_rep], by[i_rep],
@@ -167,13 +173,13 @@ def _find_marks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                 )
                 if len(pid):
                     si = np.where(which == 0, i_rep[pid], j[pid])
-                    outs.append((ax[si], ay[si], bx[si], by[si], mx, my, rnd))
+                    outs.append((ax[si], ay[si], bx[si], by[si], mx, my, rnd, coll[pid]))
     if outs:
-        cols = [np.concatenate([o[k] for o in outs]) for k in range(7)]
+        cols = [np.concatenate([o[k] for o in outs]) for k in range(8)]
         out = pd.DataFrame(
             {
                 "ax": cols[0], "ay": cols[1], "bx": cols[2], "by": cols[3],
-                "px": cols[4], "py": cols[5], "is_round": cols[6],
+                "px": cols[4], "py": cols[5], "is_round": cols[6], "col_ovl": cols[7],
             }
         )
         if rows:
@@ -183,7 +189,7 @@ def _find_marks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             )
         return out
     return pd.DataFrame(
-        rows, columns=["ax", "ay", "bx", "by", "px", "py", "is_round"]
+        rows, columns=["ax", "ay", "bx", "by", "px", "py", "is_round", "col_ovl"]
     )
 
 
@@ -283,27 +289,45 @@ def split_round(
     cells_per_axis: int,
     hot_threshold: int = 20000,
     bounds: tuple[int, int, int, int, int] | None = None,
+    dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One split round: returns (marks_df, stats). Hot cells are salted to a 4x4
-    finer sub-grid via salted_cover (only hot-cell segments re-explode)."""
+    finer sub-grid via salted_cover (only hot-cell segments re-explode).
+
+    dedup=False skips the dropDuplicates shuffle — apply_marks_df's collect_set
+    dedupes per segment anyway, so the fixpoint passes False and saves one full
+    shuffle of the mark set per round (duplicates exist only for pairs spanning
+    cell borders, a thin sliver of the cover)."""
     cover, loads = salted_cover(segs, cells_per_axis, hot_threshold, bounds)
-    marks = (
-        cover.groupBy("cx", "cy", "sx", "sy")  # groupBy hash-shuffles on the key;
-        # an explicit repartition first would add a second full shuffle
-        .applyInPandas(lambda pdf: _find_marks_kernel(pdf), schema=MARKS_SCHEMA)
-        .dropDuplicates(["ax", "ay", "bx", "by", "px", "py"])
+    marks = cover.groupBy("cx", "cy", "sx", "sy").applyInPandas(
+        # groupBy hash-shuffles on the key; an explicit repartition first would
+        # add a second full shuffle
+        lambda pdf: _find_marks_kernel(pdf),
+        schema=MARKS_SCHEMA,
     )
+    if dedup:
+        marks = marks.dropDuplicates(["ax", "ay", "bx", "by", "px", "py"])
     return marks, loads
 
 
 def apply_marks_df(
-    segs: DataFrame, marks: DataFrame, extra_aggs: dict[str, str] | None = None
+    segs: DataFrame,
+    marks: DataFrame,
+    extra_aggs: dict[str, str] | None = None,
+    skip_final_merge: bool = False,
 ) -> DataFrame:
     """A8 as pure Column ops: group marks per segment, sort along the segment,
     explode the sub-segment chain, renormalize direction/counts, re-merge.
 
     Payload columns (extra_aggs keys) are duplicated onto every sub-segment — the
-    reference's default split hook (iOverlay/src/core/edge_data.rs:5-19)."""
+    reference's default split hook (iOverlay/src/core/edge_data.rs:5-19).
+
+    skip_final_merge=True drops the closing coincident-merge groupBy (a full
+    shuffle of the post-split set). Callers may set it ONLY when the round's
+    marks contain no collinear-overlap pairs AND no snap-rounded marks:
+    sub-segments lie on their parent's line, so coincidences require a
+    collinear-overlap parent pair, and rounding can move points onto new
+    coincidences (the fixpoint's next round handles those through its merge)."""
     grouped = marks.groupBy("ax", "ay", "bx", "by").agg(
         F.collect_set(F.struct("px", "py")).alias("mks")
     )
@@ -367,6 +391,8 @@ def apply_marks_df(
         F.when(fwd, F.col("clip")).otherwise(-F.col("clip")).alias("clip"),
         *[F.col(c) for c in (extra_aggs or {})],
     )
+    if skip_final_merge:
+        return out
     return merge_segments_df(out, extra_aggs)
 
 
@@ -393,17 +419,30 @@ def split_segments_df(
         # exact solver; extra cover rows are cheap, idle cells cost nothing
         floor = 8 if bounds[0] >= 64 else 1
         cells_per_axis = max(floor, int((bounds[0] / max(target_per_cell, 1)) ** 0.5))
-        marks, _ = split_round(segs, cells_per_axis, bounds=bounds)
+        marks, _ = split_round(segs, cells_per_axis, bounds=bounds, dedup=False)
         marks = marks.localCheckpoint(eager=True)
-        if marks.isEmpty():
+        # ONE probe job for emptiness + the two termination flags (was three
+        # separate actions per round):
+        #  - need_fix (scalar split.split_segments rule): marks that are ALL
+        #    exact split segments at points exactly ON them, so no new
+        #    crossings can appear — apply and stop without a verification
+        #    round (for crossing-dense inputs that round is a full
+        #    cover+kernel pass over the whole post-split set);
+        #  - has_col: no collinear-overlap marks + no round marks means the
+        #    apply cannot create coincident sub-segments, so the terminal
+        #    round may skip its closing merge shuffle entirely.
+        probe = marks.agg(
+            F.count("*").alias("n"),
+            F.max("is_round").alias("any_round"),
+            F.max("col_ovl").alias("any_col"),
+        ).first()
+        if probe["n"] == 0:
             break
-        # scalar-kernel termination rule (split.split_segments `need_fix`):
-        # marks that are ALL exact split segments at points exactly ON them, so
-        # no new crossings can appear — apply and stop without a verification
-        # round (for crossing-dense inputs that round is a full cover+kernel
-        # pass over the whole post-split set)
-        need_fix = not marks.where(F.col("is_round")).isEmpty()
-        segs = apply_marks_df(segs, marks, extra_aggs)
+        need_fix = bool(probe["any_round"])
+        has_col = bool(probe["any_col"])
+        segs = apply_marks_df(
+            segs, marks, extra_aggs, skip_final_merge=not need_fix and not has_col
+        )
         if checkpoint_dir is not None:
             path = f"{checkpoint_dir}/split_r{rnd}"
             segs.write.mode("overwrite").parquet(path)

@@ -89,7 +89,10 @@ def _union_find_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 40, local_threshold: int = 2_000_000
+    edges: DataFrame,
+    max_rounds: int = 40,
+    local_threshold: int = 2_000_000,
+    count_hint: int | None = None,
 ) -> DataFrame:
     """Connected components: edges(u, v) long node ids -> (node, component=min id).
 
@@ -104,9 +107,10 @@ def connected_components(
     the same edge set — a node appearing only in self-loops is absent from the
     output on either path (ADVICE r02). The dispatch count is a bounded
     limit-probe, not a full count, so the large path doesn't pay a full extra
-    action just to route."""
+    action just to route; callers that already know an upper bound on the edge
+    count (count_hint) skip the probe job entirely."""
     canon = edges.select("u", "v").where(F.col("u") != F.col("v"))
-    probe = canon.limit(local_threshold + 1).count()
+    probe = count_hint if count_hint is not None else canon.limit(local_threshold + 1).count()
     if probe <= local_threshold:
         schema = StructType(
             [StructField("node", LongType()), StructField("component", LongType())]
@@ -203,23 +207,23 @@ def _extract_kernel(rule: OverlayRule, options: OverlayOptions):
     clockwise = options.output_direction == ContourDirection.CLOCKWISE
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from types import SimpleNamespace
+
+        from ..kernel.batch import _fast_contours_batch
         from ..kernel.extract import _LinkGraph, boundary_mask
 
-        rows = []
+        cols = [
+            "component", "ring_id", "is_hole", "pts_x", "pts_y",
+            "area2", "anchor_x", "anchor_y",
+        ]
         min_area2 = 2 * options.min_output_area
+        simplify = not options.preserve_output_collinear
         # globally-unique ring ids without arithmetic on component ids (packed
         # node ids reach ~2^62, so comp * K overflows int64): compose from the
         # salt-group id (disjoint across kernel invocations) and a local counter
         salt = int(pdf["_salt"].iloc[0]) if "_salt" in pdf.columns else 0
-        ring_seq = 0
         if not len(pdf):
-            return pd.DataFrame(
-                rows,
-                columns=[
-                    "component", "ring_id", "is_hole", "pts_x", "pts_y",
-                    "area2", "anchor_x", "anchor_y",
-                ],
-            )
+            return pd.DataFrame([], columns=cols)
         # ONE lexsort over the whole salt group + flat per-component list
         # slices (the batch kernel's shape): a pandas groupby with per-
         # component numpy gathers cost ~68us per 4-edge component on lines_net
@@ -237,49 +241,140 @@ def _extract_kernel(rule: OverlayRule, options: OverlayOptions):
             np.concatenate([[True], comp_arr[1:] != comp_arr[:-1]])
         )
         bounds = np.concatenate([starts, [len(comp_arr)]])
-        all_pa = list(zip(axv.tolist(), ayv.tolist()))
-        all_pb = list(zip(bxv.tolist(), byv.tolist()))
-        all_fl = fills_arr.tolist()
-        comps = comp_arr[starts].tolist()
-        for ci in range(len(starts)):
-            lo, hi = int(bounds[ci]), int(bounds[ci + 1])
-            comp = int(comps[ci])
-            g = _LinkGraph(all_pa[lo:hi], all_pb[lo:hi], all_fl[lo:hi])
-            contours = walk_contours(None, None, rule, clockwise, bmask[lo:hi], g)
-            for i, (ring, hole) in enumerate(contours):
-                if not options.preserve_output_collinear:
-                    ring = simplify_ring(list(ring))
-                if len(ring) < 3:
+        ncomp = len(starts)
+        comps = comp_arr[starts]
+
+        # VECTORIZED degree-2 walk over the whole salt group via the batch
+        # kernel's _fast_contours_batch with slot = component: components never
+        # share an endpoint (they are connectivity classes over exact
+        # endpoints), so the "tiles never share points" invariant holds with
+        # zero per-slot offsets. Components it cannot serve (pinch nodes,
+        # rings > cap) take the scalar walk below — bit-identical rings either
+        # way (the batch kernel's differential guarantee).
+        comp_fast, ring_data = _fast_contours_batch(
+            SimpleNamespace(ax=axv, ay=ayv, bx=bxv, by=byv),
+            bmask, fills_arr, bounds, rule, clockwise,
+            np.zeros(ncomp, dtype=np.int64), 0,
+        )
+
+        out_comp: list = []
+        out_hole: list = []
+        out_ptsx: list = []
+        out_ptsy: list = []
+        out_a2: list = []
+        out_ax: list = []
+        out_ay: list = []
+
+        def emit_scalar_ring(comp, ring, hole):
+            if simplify:
+                ring = simplify_ring(list(ring))
+            if len(ring) < 3:
+                return
+            a2 = ring_area2(ring)
+            if a2 == 0 or (min_area2 > 0 and abs(a2) < min_area2):
+                return
+            k = min(range(len(ring)), key=lambda t: ring[t])
+            out_comp.append(comp)
+            out_hole.append(bool(hole))
+            out_ptsx.append([p[0] for p in ring])
+            out_ptsy.append([p[1] for p in ring])
+            out_a2.append(a2)
+            out_ax.append(ring[k][0])
+            out_ay.append(ring[k][1])
+
+        if ring_data is not None:
+            # vectorized validate per ring-length block (the _finalize_fast
+            # shape, emitting raw rings + anchors instead of bound shapes)
+            r_slot = ring_data["slot"]
+            r_hole = ring_data["hole"]
+            r_len = ring_data["len"]
+            comp_of_ring = comps[r_slot]
+            for L in np.unique(r_len).tolist():
+                if L < 3:
+                    # sub-triangle rings are dropped unconditionally (simplify
+                    # cannot grow a ring), matching the scalar len<3 skip
                     continue
-                a2 = ring_area2(ring)
-                if a2 == 0 or (min_area2 > 0 and abs(a2) < min_area2):
-                    continue
-                k = min(range(len(ring)), key=lambda t: ring[t])
-                ring_seq += 1
-                rows.append(
-                    (
-                        comp,
-                        salt * (1 << 40) + ring_seq,
-                        bool(hole),
-                        [p[0] for p in ring],
-                        [p[1] for p in ring],
-                        a2,
-                        ring[k][0],
-                        ring[k][1],
+                sel = np.flatnonzero(r_len == L)
+                k = len(sel)
+                block = np.empty((k, L, 2), dtype=np.int64)
+                block[:, 0, 0] = ring_data["first_x"][sel]
+                block[:, 0, 1] = ring_data["first_y"][sel]
+                if L > 1:
+                    block[:, 1:, 0] = ring_data["buf_x"][sel, : L - 1]
+                    block[:, 1:, 1] = ring_data["buf_y"][sel, : L - 1]
+                prv = np.roll(block, 1, axis=1)
+                if simplify:
+                    nxt = np.roll(block, -1, axis=1)
+                    dup = np.all(block == prv, axis=2).any(axis=1)
+                    da = block - prv
+                    db = nxt - block
+                    cr = da[:, :, 0] * db[:, :, 1] - da[:, :, 1] * db[:, :, 0]
+                    dirty = dup | (cr == 0).any(axis=1) | (L < 3)
+                else:
+                    dirty = np.zeros(k, dtype=bool)
+                mx = int(np.abs(block).max(initial=0))
+                # int64 guards: shoelace term sums (L*mx^2) AND the anchor
+                # key product (<= 4*mx^2) route to the exact scalar path
+                if max(L, 4) * mx * mx >= (1 << 62):
+                    dirty[:] = True
+                x = block[:, :, 0]
+                y = block[:, :, 1]
+                a2v = (x * np.roll(y, -1, axis=1)).sum(axis=1) - (
+                    np.roll(x, -1, axis=1) * y
+                ).sum(axis=1)
+                # lexicographic-min anchor per clean ring, vectorized
+                kx = x - x.min(axis=1, keepdims=True)
+                ky = y - y.min(axis=1, keepdims=True)
+                am = (kx * (int(ky.max(initial=0)) + 1) + ky).argmin(axis=1)
+                rowsel = np.arange(k)
+                anch_x = x[rowsel, am]
+                anch_y = y[rowsel, am]
+                keep = ~dirty & (a2v != 0)
+                if min_area2 > 0:
+                    keep &= np.abs(a2v) >= min_area2
+                ki = np.flatnonzero(keep)
+                if len(ki):
+                    out_comp.extend(comp_of_ring[sel[ki]].tolist())
+                    out_hole.extend(r_hole[sel[ki]].tolist())
+                    out_ptsx.extend(x[ki].tolist())
+                    out_ptsy.extend(y[ki].tolist())
+                    out_a2.extend(a2v[ki].tolist())
+                    out_ax.extend(anch_x[ki].tolist())
+                    out_ay.extend(anch_y[ki].tolist())
+                for t in np.flatnonzero(dirty).tolist():
+                    emit_scalar_ring(
+                        int(comp_of_ring[sel[t]]),
+                        list(map(tuple, block[t].tolist())),
+                        bool(r_hole[sel[t]]),
                     )
-                )
+
+        slow = np.flatnonzero(~comp_fast)
+        if len(slow):
+            all_pa = list(zip(axv.tolist(), ayv.tolist()))
+            all_pb = list(zip(bxv.tolist(), byv.tolist()))
+            all_fl = fills_arr.tolist()
+            comps_l = comps.tolist()
+            for ci in slow.tolist():
+                lo, hi = int(bounds[ci]), int(bounds[ci + 1])
+                comp = int(comps_l[ci])
+                g = _LinkGraph(all_pa[lo:hi], all_pb[lo:hi], all_fl[lo:hi])
+                contours = walk_contours(None, None, rule, clockwise, bmask[lo:hi], g)
+                for ring, hole in contours:
+                    emit_scalar_ring(comp, ring, hole)
+
+        ring_ids = [salt * (1 << 40) + i + 1 for i in range(len(out_comp))]
         return pd.DataFrame(
-            rows,
-            columns=[
-                "component",
-                "ring_id",
-                "is_hole",
-                "pts_x",
-                "pts_y",
-                "area2",
-                "anchor_x",
-                "anchor_y",
-            ],
+            {
+                "component": out_comp,
+                "ring_id": ring_ids,
+                "is_hole": out_hole,
+                "pts_x": out_ptsx,
+                "pts_y": out_ptsy,
+                "area2": out_a2,
+                "anchor_x": out_ax,
+                "anchor_y": out_ay,
+            },
+            columns=cols,
         )
 
     return run
@@ -435,22 +530,34 @@ def extract_shapes_df(
     (shape_id, ring_id, is_hole, pts_x, pts_y, area2)."""
     b = boundary_segments_df(fills, rule).localCheckpoint(eager=True)
 
-    cmax = b.agg(
+    # one metadata job: coordinate cap for node-id packing AND the edge count
+    # (reused as the CC dispatch bound, saving its limit-probe job)
+    meta = b.agg(
         F.max(
             F.greatest(
                 F.abs("ax"), F.abs("ay"), F.abs("bx"), F.abs("by")
             )
-        ).alias("m")
-    ).first()["m"]
+        ).alias("m"),
+        F.count("*").alias("n"),
+    ).first()
+    cmax, n_edges = meta["m"], int(meta["n"])
+    small_cc = n_edges <= 2_000_000
     if cmax is not None and int(cmax) >= _NODE_CAP:
         bb = _wide_node_ids(b)
-        comp = connected_components(bb.select("u", "v"))
+        comp = connected_components(bb.select("u", "v"), count_hint=n_edges)
+        if small_cc:
+            comp = F.broadcast(comp)
         labeled = bb.join(comp, on=bb["u"] == comp["node"]).drop("node", "u", "v")
     else:
         edges = b.select(
             _node_expr("ax", "ay").alias("u"), _node_expr("bx", "by").alias("v")
         )
-        comp = connected_components(edges)
+        comp = connected_components(edges, count_hint=n_edges)
+        if small_cc:
+            # the single-task CC output is at most 2x the edge bound — small
+            # enough to broadcast, which keeps the boundary set map-side (its
+            # only remaining shuffle is the salt groupBy below)
+            comp = F.broadcast(comp)
         labeled = (
             b.withColumn("u", _node_expr("ax", "ay"))
             .join(comp, on=F.col("u") == comp["node"])

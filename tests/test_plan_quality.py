@@ -190,3 +190,47 @@ def test_ivf_assign_broadcasts_centroids(spark):
     p = plan_str(df)
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_apply_marks_plan_has_no_quadratic_array_ops(spark):
+    """Tripwire for the Catalyst pathology class that cost 378 s / 60 s in round
+    3 (BENCH.md): array_distinct / array_contains over struct arrays are O(n^2)
+    INTERPRETED scans per element, and re-inlined transform chains re-evaluate
+    the whole sort/dedup expression per element access. The optimized plan of
+    apply_marks_df must contain neither an ArrayDistinct/ArrayContains node nor
+    a window exchange (the pairing is map-side zip_with)."""
+    from ioverlay_spark.operators.distributed import apply_marks_df
+
+    segs = spark.createDataFrame(
+        [(0, 0, 100, 100, 1, 0)], ["ax", "ay", "bx", "by", "subj", "clip"]
+    )
+    marks = spark.createDataFrame(
+        [(0, 0, 100, 100, 50, 50, False, False)],
+        ["ax", "ay", "bx", "by", "px", "py", "is_round", "col_ovl"],
+    )
+    df = apply_marks_df(segs, marks)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    phys = plan_str(df)
+    for bad in ("array_distinct", "array_contains", "ArrayDistinct", "ArrayContains"):
+        assert bad not in opt and bad not in phys
+    # the chain must be built ONCE per row: exactly one array_sort evaluation
+    # (a re-inlined chain shows up as several, one per element access)
+    assert opt.count("array_sort") <= 1
+    # pairing is map-side: no Window operator in the physical plan
+    assert "Window" not in phys
+
+
+def test_strip_assignment_has_no_interpreted_filter(spark):
+    """The fill stage's strip assignment must stay an Arrow-batched searchsorted
+    (pandas_udf), never an interpreted per-strip HOF filter/exists scan
+    (VERDICT r02 Wrong #4: O(n_strips) lambda per row)."""
+    from ioverlay_spark.operators.distributed import compute_fills_df
+
+    segs = spark.createDataFrame(
+        [(0, 0, 100, 100, 1, 0), (0, 100, 100, 0, 1, 0)],
+        ["ax", "ay", "bx", "by", "subj", "clip"],
+    )
+    df = compute_fills_df(segs, n_strips=2)
+    phys = plan_str(df)
+    for bad in ("ArrayFilter", "ArrayExists", "filter(", "exists("):
+        assert bad not in phys
