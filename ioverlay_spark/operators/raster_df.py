@@ -105,26 +105,72 @@ def vectorize_tiles(tiles: DataFrame) -> DataFrame:
     ship_package(tiles.sparkSession)
 
     def kernel(batches):
+        # batched marching squares (the flat-slice pattern, VERDICT r03 #6):
+        # masks of a (size_px, px) group unpack in ONE np.unpackbits, the
+        # boundary-edge extraction runs as 3-D array diffs + nonzero over the
+        # whole group, and each tile's face walk consumes flat list slices.
+        # Edge order per tile (horizontals in (r, c) order, then verticals)
+        # matches the scalar vectorize() exactly, so rings are bit-identical
+        # (differential-tested in tests/test_raster.py).
+        from ..kernel.raster import _face_walk_min_cw, _merge_collinear_rectilinear
+
         for pdf in batches:
             rows = []
-            for t in pdf.itertuples():
-                size_px = int(t.size_px)
-                px = int(t.px)
-                mask = np.unpackbits(
-                    np.frombuffer(t.mask, dtype=np.uint8), count=size_px * size_px
-                ).reshape(size_px, size_px).astype(bool)
-                ox = int(t.tile_x) * size_px * px
-                oy = int(t.tile_y) * size_px * px
-                for i, ring in enumerate(vectorize(mask, origin=(ox, oy), px=px)):
-                    rows.append(
-                        (
-                            int(t.tile_x),
-                            int(t.tile_y),
-                            i,
-                            ring[:, 0].tolist(),
-                            ring[:, 1].tolist(),
-                        )
-                    )
+            for (s, p), grp in pdf.groupby(["size_px", "px"], sort=False):
+                s = int(s)
+                p = int(p)
+                k = len(grp)
+                nb = (s * s + 7) // 8
+                buf = np.frombuffer(b"".join(grp["mask"].tolist()), dtype=np.uint8)
+                bits = np.unpackbits(buf.reshape(k, nb), axis=1, count=s * s)
+                padded = np.zeros((k, s + 2, s + 2), dtype=bool)
+                padded[:, 1:-1, 1:-1] = bits.reshape(k, s, s).astype(bool)
+                tx = grp["tile_x"].to_numpy(np.int64)
+                ty = grp["tile_y"].to_numpy(np.int64)
+                oxs = tx * (s * p)
+                oys = ty * (s * p)
+                # horizontal boundaries (between row r-1 and r), all tiles at once
+                dh = padded[:, 1:, 1:-1] != padded[:, :-1, 1:-1]  # (k, s+1, s)
+                hk, hr, hc = np.nonzero(dh)
+                h_above = padded[hk, hr + 1, hc + 1]
+                hy = oys[hk] + hr * p
+                hx0 = oxs[hk] + hc * p
+                hfx = np.where(h_above, hx0, hx0 + p)
+                htx = np.where(h_above, hx0 + p, hx0)
+                # vertical boundaries
+                dv = padded[:, 1:-1, 1:] != padded[:, 1:-1, :-1]  # (k, s, s+1)
+                vk, vr, vc = np.nonzero(dv)
+                v_east = padded[vk, vr + 1, vc + 1]
+                vx = oxs[vk] + vc * p
+                vy0 = oys[vk] + vr * p
+                vfy = np.where(v_east, vy0 + p, vy0)
+                vty = np.where(v_east, vy0, vy0 + p)
+                # flat edge tuple lists, sliced per tile (nonzero is C-ordered,
+                # so hk/vk are ascending and per-tile slices keep (r, c) order)
+                h_edges = list(zip(zip(hfx.tolist(), hy.tolist()), zip(htx.tolist(), hy.tolist())))
+                v_edges = list(zip(zip(vx.tolist(), vfy.tolist()), zip(vx.tolist(), vty.tolist())))
+                hb = np.searchsorted(hk, np.arange(k + 1))
+                vb = np.searchsorted(vk, np.arange(k + 1))
+                txl = tx.tolist()
+                tyl = ty.tolist()
+                for t in range(k):
+                    edges = h_edges[hb[t]:hb[t + 1]] + v_edges[vb[t]:vb[t + 1]]
+                    if not edges:
+                        continue
+                    i = 0
+                    for ring in _face_walk_min_cw(edges):
+                        ring = _merge_collinear_rectilinear(ring)
+                        if len(ring) >= 4:
+                            rows.append(
+                                (
+                                    txl[t],
+                                    tyl[t],
+                                    i,
+                                    [q[0] for q in ring],
+                                    [q[1] for q in ring],
+                                )
+                            )
+                            i += 1
             yield pd.DataFrame(
                 rows, columns=["tile_x", "tile_y", "ring_idx", "pts_x", "pts_y"]
             )

@@ -89,3 +89,49 @@ def test_rasterize_vectorized_edges_general_rings():
             # strictly inside the triangle x>0,y>0,x+y<40 (boundary: above-test)
             expect = cx >= 0 and cy >= 0 and cx + cy < 40
             assert bool(mask[r, c]) == expect, (r, c)
+
+
+def test_vectorize_tiles_batch_matches_scalar(spark):
+    """The batched marching-squares kernel in operators/raster_df.vectorize_tiles
+    (one unpackbits + 3-D edge diffs per batch, flat per-tile edge slices) must
+    produce ring-for-ring identical output to the scalar kernel vectorize()
+    applied per tile row — including hole direction, ring order and ring_idx."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ioverlay_spark.kernel.raster import vectorize
+    from ioverlay_spark.operators.raster_df import rasterize_rect_tiles, vectorize_tiles
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for rid in range(40):
+        x1 = int(rng.integers(0, 1 << 12)) * 64
+        y1 = int(rng.integers(0, 1 << 12)) * 64
+        w = int(rng.integers(1, 64)) * 64
+        h = int(rng.integers(1, 64)) * 64
+        rows.append((rid, x1, y1, x1 + w, y1 + h))
+    rects = spark.createDataFrame(rows, ["r_id", "x1", "y1", "x2", "y2"])
+    tiles = rasterize_rect_tiles(rects, tile_level=10, size_px=32).localCheckpoint(eager=True)
+    assert tiles.count() > 0
+
+    got = sorted(
+        (r["tile_x"], r["tile_y"], r["ring_idx"], tuple(r["pts_x"]), tuple(r["pts_y"]))
+        for r in vectorize_tiles(tiles).collect()
+    )
+    from ioverlay_spark.functions.exprgen import GRID_BITS
+
+    want = []
+    shift = GRID_BITS - 10
+    tile_side = 1 << shift
+    px = tile_side // 32
+    for t in tiles.collect():
+        mask = np.unpackbits(
+            np.frombuffer(t["mask"], dtype=np.uint8), count=32 * 32
+        ).reshape(32, 32).astype(bool)
+        ox = t["tile_x"] * 32 * px
+        oy = t["tile_y"] * 32 * px
+        for i, ring in enumerate(vectorize(mask, origin=(ox, oy), px=px)):
+            want.append(
+                (t["tile_x"], t["tile_y"], i, tuple(ring[:, 0].tolist()), tuple(ring[:, 1].tolist()))
+            )
+    assert got == sorted(want) and len(got) > 0
