@@ -215,6 +215,12 @@ def _stroke_contours(
                 ],
                 dtype=np.int64,
             )
+            # orient CCW (winding +1) like the miter pieces: a CW triangle
+            # carries winding -1 into the NonZero union and cancels the edge
+            # quads where rounding makes them overlap, punching slivers that
+            # differ under path reversal (found by the reversal differential)
+            if _area2(tri) < 0:
+                tri = tri[::-1]
             contours.append(tri)
 
     # caps on open paths
