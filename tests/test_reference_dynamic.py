@@ -64,46 +64,77 @@ def frange(lo, hi, step):
         v += step
 
 
+def _sweep(jobs, rule, check=True, cross_every=97):
+    """Run a dense sweep at FULL reference density through the batched kernel
+    (65 us/job vs ~1.5 ms scalar — what makes dynamic_tests.rs's 10k-40k-case
+    grids affordable in python), with a scalar cross-check every `cross_every`
+    jobs (overlay_batch is independently differential-tested; the sample keeps
+    both engines honest inside the sweep itself)."""
+    from ioverlay_spark.kernel.batch import overlay_batch
+
+    for lo in range(0, len(jobs), 512):
+        chunk = jobs[lo : lo + 512]
+        results = overlay_batch(chunk, [rule], NZ)
+        for k, (job, res) in enumerate(zip(chunk, results)):
+            shapes = res[rule]
+            if check:
+                _check(shapes)
+            if (lo + k) % cross_every == 0:
+                want = overlay(job[0], job[1], rule, NZ)
+                assert [np.asarray(r).tolist() for s in shapes for r in s] == [
+                    np.asarray(r).tolist() for s in want for r in s
+                ]
+
+
 def test_0_rotating_7_star_union():
+    # full reference grid: r 0.9..1.2 step 0.02, a 0..2pi step 0.01
+    # (dynamic_tests.rs:30-53) — ~9.4k overlays
     clip = [create_star(1.0, 2.0, 7, 0.0)]
-    for r in frange(0.9, 1.2, 0.06):
-        for a in frange(0.0, 2 * math.pi, 0.13):
-            subj = [create_star(1.0, r, 7, a)]
-            _check(overlay(subj, clip, OverlayRule.UNION, NZ))
+    jobs = [
+        ([create_star(1.0, r, 7, a)], clip)
+        for r in frange(0.9, 1.2, 0.02)
+        for a in frange(0.0, 2 * math.pi, 0.01)
+    ]
+    _sweep(jobs, OverlayRule.UNION)
 
 
 @pytest.mark.parametrize(
-    "r0,r1,count,rule,hi,step",
+    "r0,r1,count,rule,hi",
     [
-        (200.0, 30.0, 7, OverlayRule.XOR, 4 * math.pi, 0.11),   # test_1
-        (202.5, 33.75, 24, OverlayRule.XOR, 2 * math.pi, 0.11),  # test_2
-        (100.0, 10.0, 17, OverlayRule.XOR, 4 * math.pi, 0.11),   # test_3
+        (200.0, 30.0, 7, OverlayRule.XOR, 4 * math.pi),   # test_1
+        (202.5, 33.75, 24, OverlayRule.XOR, 2 * math.pi),  # test_2
+        (100.0, 10.0, 17, OverlayRule.XOR, 4 * math.pi),   # test_3
     ],
 )
-def test_1_2_3_rotating_star_xor(r0, r1, count, rule, hi, step):
-    # scale 4.0 keeps the stars in a ~±1000 coordinate window (the reference's
+def test_1_2_3_rotating_star_xor(r0, r1, count, rule, hi):
+    # full reference density: angle step 0.01 (dynamic_tests.rs:62-131); scale
+    # 4.0 keeps the stars in a ~±1000 coordinate window (the reference's
     # scale_for::<i16> regime, the hardest snap-rounding case of the three)
     clip = [create_star(r0, r1, count, 0.0, 4.0)]
-    for a in frange(0.0, hi, step):
-        subj = [create_star(r0, r1, count, a, 4.0)]
-        overlay(subj, clip, rule, NZ)  # must terminate with valid output
-        _check(overlay(subj, clip, OverlayRule.UNION, NZ))
+    jobs = [
+        ([create_star(r0, r1, count, a, 4.0)], clip)
+        for a in frange(0.0, hi, 0.01)
+    ]
+    # XOR of identical-parameter stars may legitimately be empty at a=0-ish
+    _sweep(jobs, rule, check=False)
+    _sweep(jobs, OverlayRule.UNION)
 
 
 @pytest.mark.parametrize(
     "r0,r1,count,step",
     [
-        (202.5, 33.75, 24, 1e-7),  # test_4 (reduced from 1e-8)
+        (202.5, 33.75, 24, 1e-8),  # test_4 (full reference step)
         (100.0, 50.0, 24, 1e-7),   # test_6
     ],
 )
 def test_4_6_epsilon_rotations(r0, r1, count, step):
     clip = [create_star(r0, r1, count, 0.0, 4.0)]
+    jobs = []
     a = -1e-6
     while a < 1e-6:
-        subj = [create_star(r0, r1, count, a, 4.0)]
-        overlay(subj, clip, OverlayRule.XOR, NZ)
+        jobs.append(([create_star(r0, r1, count, a, 4.0)], clip))
         a += step
+    _sweep(jobs, OverlayRule.XOR, check=False)
 
 
 def test_5_single_epsilon_rotation():
@@ -118,20 +149,26 @@ def test_7_large_self_intersecting_polygon():
 
 
 def test_8_tiny_radius_polygons():
-    for r in frange(0.004, 1.0, 0.02):
-        for n in range(5, 10):
-            subj = [random_polygon(r, 0.0, n)]
-            simplify(subj, NZ)  # may legitimately be empty at tiny radii
+    # full reference grid: r step 0.001 (dynamic_tests.rs test_8), n in 5..10
+    jobs = [
+        ([random_polygon(r, 0.0, n)], [])
+        for r in frange(0.004, 1.0, 0.001)
+        for n in range(5, 10)
+    ]
+    _sweep(jobs, OverlayRule.SUBJECT, check=False)  # tiny radii may be empty
 
 
 def test_9_tiny_scale_4_star_union():
+    # full reference grid: r step 0.01*s, a step 0.005 (dynamic_tests.rs test_9)
     s = 0.02
-    clip = [create_star(s, 2 * s, 4, 0.0, SCALE / (2 * s) / 4)]
     sc = SCALE / (2 * s) / 4
-    for r in frange(0.9 * s, 1.2 * s, 0.03 * s):
-        for a in frange(0.0, 2 * math.pi, 0.13):
-            subj = [create_star(s, r, 4, a, sc)]
-            _check(overlay(subj, clip, OverlayRule.UNION, NZ))
+    clip = [create_star(s, 2 * s, 4, 0.0, sc)]
+    jobs = [
+        ([create_star(s, r, 4, a, sc)], clip)
+        for r in frange(0.9 * s, 1.2 * s, 0.01 * s)
+        for a in frange(0.0, 2 * math.pi, 0.005)
+    ]
+    _sweep(jobs, OverlayRule.UNION)
 
 
 def test_10_pinned_angle_case():
@@ -141,44 +178,56 @@ def test_10_pinned_angle_case():
 
 
 def test_11_random_hexagon_pairs():
+    # full reference count: 2000 random pairs (dynamic_tests.rs test_11);
+    # seeded stand-in for the reference's rng: jitter the deterministic
+    # star-polygon by random radii
     rng = np.random.default_rng(11)
-    for _ in range(300):
-        # seeded stand-in for the reference's rng: jitter the deterministic
-        # star-polygon by random radii
+    jobs = []
+    for _ in range(2000):
         r1, r2 = rng.uniform(20, 100, size=2)
         a1, a2 = rng.uniform(0, 2 * math.pi, size=2)
-        subj = [random_polygon(r1, a1, 6, 8.0)]
-        clip = [random_polygon(r2, a2 + 0.5 * math.pi, 6, 8.0)]
-        _check(overlay(subj, clip, OverlayRule.UNION, NZ))
+        jobs.append(
+            ([random_polygon(r1, a1, 6, 8.0)], [random_polygon(r2, a2 + 0.5 * math.pi, 6, 8.0)])
+        )
+    _sweep(jobs, OverlayRule.UNION)
 
 
 def test_12_random_tiny_5gons():
+    # full reference count: 10000 (dynamic_tests.rs test_12)
     rng = np.random.default_rng(12)
-    for _ in range(2000):
-        pts = rng.integers(-5, 6, size=(5, 2))
-        simplify([np.asarray(pts, dtype=np.int64)], NZ)
+    jobs = [
+        ([np.asarray(rng.integers(-5, 6, size=(5, 2)), dtype=np.int64)], [])
+        for _ in range(10000)
+    ]
+    _sweep(jobs, OverlayRule.SUBJECT, check=False)
 
 
 def test_13_random_float_5gons():
+    # full reference count: 10000 radius steps (dynamic_tests.rs test_13)
     from ioverlay_spark.functions.float_shell import NumpyFloatAdapter
 
     rng = np.random.default_rng(13)
-    for i in range(1, 500):
+    jobs = []
+    for i in range(1, 10000):
         r = float(i)
         pts = rng.uniform(-0.5 * r, 0.5 * r, size=(5, 2))
         a = NumpyFloatAdapter.fit([pts])
-        simplify([a.quantize(pts)], NZ)
+        jobs.append(([a.quantize(pts)], []))
+    _sweep(jobs, OverlayRule.SUBJECT, check=False)
 
 
 def test_14_random_triangle_fans():
+    # reference count: 100_000 (dynamic_tests.rs test_14); batched, full count
     rng = np.random.default_rng(14)
-    for _ in range(3000):
+    jobs = []
+    for _ in range(100_000):
         tris = []
         for _ in range(3):
             ax, ay = int(rng.integers(0, 9)), int(rng.integers(-8, 9))
             bx, by = int(rng.integers(0, 9)), int(rng.integers(-8, 9))
             tris.append(np.array([(0, 0), (ax, ay), (bx, by)], dtype=np.int64))
-        simplify(tris, NZ)
+        jobs.append((tris, []))
+    _sweep(jobs, OverlayRule.SUBJECT, check=False)
 
 
 # --- board_tests.rs: XOR shape counts on touching-square grids ----------------
