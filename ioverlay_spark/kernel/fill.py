@@ -389,8 +389,20 @@ def _windings_segtree(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
     enum0 = 2 * tay[sid] * edt
     edy = (tby - tay)[sid]
     eax2 = 2 * tax[sid]
-    cs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(segs.subj[sid])])
-    cc = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(segs.clip[sid])])
+    # zero-weight sides (self-union: clip empty) skip their prefix sums and
+    # accumulation entirely
+    has_subj = bool(np.any(segs.subj))
+    has_clip = bool(np.any(segs.clip))
+    cs = (
+        np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(segs.subj[sid])])
+        if has_subj
+        else None
+    )
+    cc = (
+        np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(segs.clip[sid])])
+        if has_clip
+        else None
+    )
 
     # queries: every segment's doubled midpoint; the root-to-leaf path is one
     # broadcast shift matrix (all leaves share the tree depth), filtered to
@@ -436,8 +448,10 @@ def _windings_segtree(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
             Xa = Xa[live]
             Ta = Ta[live]
     base = start[PV]
-    wind_s += np.bincount(PQ, weights=(cs[plo] - cs[base]).astype(np.float64), minlength=n).astype(np.int64)
-    wind_c += np.bincount(PQ, weights=(cc[plo] - cc[base]).astype(np.float64), minlength=n).astype(np.int64)
+    if has_subj:
+        wind_s += np.bincount(PQ, weights=(cs[plo] - cs[base]).astype(np.float64), minlength=n).astype(np.int64)
+    if has_clip:
+        wind_c += np.bincount(PQ, weights=(cc[plo] - cc[base]).astype(np.float64), minlength=n).astype(np.int64)
     return wind_s, wind_c
 
 

@@ -473,7 +473,8 @@ FILL_SCHEMA = StructType(
 )
 
 
-def _strip_fill_kernel(fill_rule: FillRule):
+def _strip_fill_kernel(fill_rule: FillRule, boundary_rule: OverlayRule | None = None):
+    from ..kernel.extract import boundary_mask
     from ..kernel.fill import compute_fills_windowed
     from ..kernel.segments import Segments
 
@@ -495,6 +496,11 @@ def _strip_fill_kernel(fill_rule: FillRule):
         # set — only the ray-at-midpoint formulations are subset-safe
         fills = compute_fills_windowed(segs, fill_rule, allow_sweep=False)
         mask = pdf["is_home"].to_numpy()
+        if boundary_rule is not None:
+            # boundary pushdown: drop non-boundary segments for the overlay
+            # rule INSIDE the fill kernel — extraction's filter runs map-side
+            # here, so the fills stage ships only result-boundary rows
+            mask = mask & boundary_mask(fills.astype(np.uint8), boundary_rule)
         out = pdf.loc[mask, ["ax", "ay", "bx", "by", "subj", "clip"]].copy()
         out["fill"] = fills[mask].astype("int32")
         return out
@@ -503,7 +509,10 @@ def _strip_fill_kernel(fill_rule: FillRule):
 
 
 def compute_fills_df(
-    segs: DataFrame, fill_rule: FillRule = FillRule.EVEN_ODD, n_strips: int | None = None
+    segs: DataFrame,
+    fill_rule: FillRule = FillRule.EVEN_ODD,
+    n_strips: int | None = None,
+    boundary_rule: OverlayRule | None = None,
 ) -> DataFrame:
     """Distributed winding classification: strip-partition the x-axis on midpoint
     quantiles; every segment is exploded into each strip it crosses and evaluated
@@ -511,7 +520,12 @@ def compute_fills_df(
 
     Correct because: the downward ray at the segment's midpoint x* only crosses
     segments whose x-span contains x*, and every such segment also crosses the home
-    strip, hence is present in the group."""
+    strip, hence is present in the group.
+
+    boundary_rule: when the caller extracts ONE overlay rule next, the
+    extraction's boundary filter is pushed into the fill kernel — the stage
+    emits only result-boundary segments (extract_shapes_df then takes
+    pre_filtered=True)."""
     spark = segs.sparkSession
     if n_strips is None:
         n = getattr(segs, "_ioverlay_n_segments", None)
@@ -566,7 +580,7 @@ def compute_fills_df(
     )
     return (
         with_strips.groupBy("strip")  # hash-shuffles on strip; no extra repartition
-        .applyInPandas(_strip_fill_kernel(fill_rule), schema=FILL_SCHEMA)
+        .applyInPandas(_strip_fill_kernel(fill_rule, boundary_rule), schema=FILL_SCHEMA)
     )
 
 
@@ -684,8 +698,8 @@ def distributed_overlay(
                 )
             )
     split = split_segments_df(merged, checkpoint_dir=checkpoint_dir, pre_merged=True)
-    fills = compute_fills_df(split, fill_rule)
-    return extract_shapes_df(fills, rule, options)
+    fills = compute_fills_df(split, fill_rule, boundary_rule=rule)
+    return extract_shapes_df(fills, rule, options, pre_filtered=True)
 
 
 def contours_to_segments_df(spark: SparkSession, contours_df: DataFrame) -> DataFrame:

@@ -525,10 +525,17 @@ def extract_shapes_df(
     rule: OverlayRule,
     options: OverlayOptions = OverlayOptions(),
     band_bits: int = 13,
+    pre_filtered: bool = False,
 ) -> DataFrame:
     """Full distributed extraction. Returns rings with resolved shape ids:
-    (shape_id, ring_id, is_hole, pts_x, pts_y, area2)."""
-    b = boundary_segments_df(fills, rule).localCheckpoint(eager=True)
+    (shape_id, ring_id, is_hole, pts_x, pts_y, area2).
+
+    pre_filtered=True: the caller already pushed the boundary filter for
+    `rule` into the fill stage (compute_fills_df boundary_rule) — skip the
+    redundant filter pass here."""
+    b = (fills if pre_filtered else boundary_segments_df(fills, rule)).localCheckpoint(
+        eager=True
+    )
 
     # one metadata job: coordinate cap for node-id packing AND the edge count
     # (reused as the CC dispatch bound, saving its limit-probe job)
