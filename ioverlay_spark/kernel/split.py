@@ -192,6 +192,8 @@ def _candidate_pairs_grid(
     order = np.argsort(key, kind="stable")
     member = rep[order]
     key = key[order]
+    gx = gx[order]
+    gy = gy[order]
     # group boundaries -> within-group "each row pairs with all later rows"
     starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
     bounds = np.concatenate([starts, [total]])
@@ -214,20 +216,30 @@ def _candidate_pairs_grid(
             qrow = np.arange(tt, dtype=np.int64) - (pcum[prow] - pcum[start]) + prow + 1
             pi = member[prow]
             pj = member[qrow]
-            chunks.append(np.unique(np.minimum(pi, pj) * n + np.maximum(pi, pj)))
+            # emit-once rule (replaces sort-based dedup): a bbox-overlapping
+            # pair is kept only in the cell containing the min corner of its
+            # bbox INTERSECTION — that corner lies in both bboxes, so exactly
+            # one co-cell of the pair satisfies this; the exact-overlap mask
+            # below drops co-cell pairs whose bboxes do not overlap at all
+            mix = np.maximum(ax[pi], ax[pj]) >> shift
+            miy = np.maximum(ymin[pi], ymin[pj]) >> shift
+            m = (
+                (mix == gx[prow])
+                & (miy == gy[prow])
+                & (ax[pj] <= bx[pi])
+                & (ax[pi] <= bx[pj])
+                & (ymin[pj] <= ymax[pi])
+                & (ymax[pj] >= ymin[pi])
+            )
+            pi, pj = pi[m], pj[m]
+            if len(pi):
+                chunks.append(
+                    np.stack([np.minimum(pi, pj), np.maximum(pi, pj)], axis=1)
+                )
         start = stop
     if not chunks:
         return np.empty((0, 2), dtype=np.int64)
-    packed = np.unique(np.concatenate(chunks))
-    i = packed // n
-    j = packed % n
-    m = (
-        (ax[j] <= bx[i])
-        & (ax[i] <= bx[j])
-        & (ymin[j] <= ymax[i])
-        & (ymax[j] >= ymin[i])
-    )
-    return np.stack([i[m], j[m]], axis=1)
+    return np.concatenate(chunks, axis=0)
 
 
 def _candidate_pairs(segs: Segments) -> np.ndarray:
