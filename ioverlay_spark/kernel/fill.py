@@ -616,8 +616,11 @@ def compute_fills_windowed(
             # candidate scan; unlike the python sweep it is ray-at-midpoint
             # semantics, so it is valid on strip SUBSETS too (the
             # allow_sweep=False callers) — the r03 sweep-subset trap does not
-            # apply. Crossover vs the windowed scan measured at est/n ~ 32
-            # (BENCH.md round-4 audit).
+            # apply. Crossover estimate: the windowed scan costs ~est
+            # gather-heavy pair evals while the segtree costs ~(n+q)·log²n
+            # lighter ones; at the measured constants (spiral audit: segtree
+            # 2.9 s at 393k segs vs windowed 15.2 s at est/n≈156) the
+            # break-even sits near est/n ≈ 32.
             return compute_fills_segtree(segs, fill_rule)
         block = 4_000_000
         for idx, lo, counts in classes:
