@@ -91,7 +91,7 @@ def _union_find_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 def connected_components(
     edges: DataFrame,
     max_rounds: int = 40,
-    local_threshold: int = 2_000_000,
+    local_threshold: int = 4_000_000,
     count_hint: int | None = None,
 ) -> DataFrame:
     """Connected components: edges(u, v) long node ids -> (node, component=min id).
@@ -548,7 +548,10 @@ def extract_shapes_df(
         F.count("*").alias("n"),
     ).first()
     cmax, n_edges = meta["m"], int(meta["n"])
-    small_cc = n_edges <= 2_000_000
+    # matches connected_components' local_threshold: the single-task union-find
+    # at 4M edges is a ~300MB working set (8M node ids + labels), well inside
+    # one executor, and its comp map (~64MB) is still broadcast-friendly
+    small_cc = n_edges <= 4_000_000
     if cmax is not None and int(cmax) >= _NODE_CAP:
         bb = _wide_node_ids(b)
         comp = connected_components(bb.select("u", "v"), count_hint=n_edges)

@@ -45,3 +45,36 @@ def test_dup_class_collapses_to_one_cluster(spark, dup_docs):
     # distinct docs stay out of it
     uniq = cc[cc.node >= 1000]
     assert (uniq["component"] >= 1000).all()
+
+
+def test_connected_components_paths_agree(spark):
+    """The single-task union-find path and the alternating-star label
+    propagation path must produce identical (node, component) output —
+    component = min node id — on a graph with chains, cycles, a star, and
+    isolated-pair components."""
+    import numpy as np
+
+    from ioverlay_spark.operators.distributed_extract import connected_components
+
+    rng = np.random.default_rng(21)
+    edges = []
+    # 50 chain components of length 6 (tests multi-hop propagation)
+    for c in range(50):
+        base = c * 100
+        edges += [(base + i, base + i + 1) for i in range(5)]
+    # a 200-leaf star + a 40-cycle + isolated pairs
+    edges += [(10_000, 10_000 + i) for i in range(1, 200)]
+    edges += [(20_000 + i, 20_000 + (i + 1) % 40) for i in range(40)]
+    edges += [(30_000 + 2 * i, 30_001 + 2 * i) for i in range(100)]
+    rng.shuffle(edges)
+    df = spark.createDataFrame([(int(u), int(v)) for u, v in edges], ["u", "v"])
+    small = connected_components(df).toPandas().sort_values("node").reset_index(drop=True)
+    large = (
+        connected_components(df, local_threshold=0)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert small.equals(large)
+    # spot-check semantics: component = min node id
+    assert (small[small.node < 600].component == (small[small.node < 600].node // 100) * 100).all()
