@@ -514,6 +514,36 @@ def _fast_contours_batch(
     cur = np.where(d, 2 * top + 0, 2 * top + 1)  # toward a_node when d
 
     lens = ring_len[s]
+    # ring-buffer memory guard: (nrings x L_max) int64 pairs; overly long
+    # rings beyond the budget take the scalar walk
+    nrings0 = max(len(s), 1)
+    cap = min(max_ring, max(256, 32_000_000 // nrings0))
+    big = s[lens > cap]
+    if len(big):
+        tile_fast[np.unique(link_slot[big])] = False
+        fast_links = tile_fast[link_slot]
+        s = s[fast_links[s]]
+        if len(s) == 0:
+            return tile_fast, None
+        sa_node = a_node[s]
+        first_is_start = l12[sa_node, 0] == s
+        o_at = np.where(first_is_start, l12[sa_node, 1], l12[sa_node, 0])
+        c1 = (lbx[s] - lax[s]) * (lby[o_at] - lay[s]) - (lby[s] - lay[s]) * (
+            lbx[o_at] - lax[s]
+        )
+        c2 = (lbx[o_at] - lax[o_at]) * (lby[s] - lay[o_at]) - (
+            lby[o_at] - lay[o_at]
+        ) * (lbx[s] - lax[o_at])
+        pick_o = np.where(first_is_start, c1 >= 0, (c1 >= 0) & (c2 < 0))
+        top = np.where(pick_o, o_at, s)
+        s_top = (lfill[top] & 1) != 0
+        c_top = (lfill[top] & 4) != 0
+        hole = rule_inside(s_top, c_top, rule)
+        d = hole == clockwise_output
+        first_x = np.where(d, lbx[top], lax[top])
+        first_y = np.where(d, lby[top], lay[top])
+        cur = np.where(d, 2 * top + 0, 2 * top + 1)
+        lens = ring_len[s]
     L_max = int(lens.max())
     nrings = len(s)
     # node point lookup (any entry of the node)
@@ -524,11 +554,41 @@ def _fast_contours_batch(
 
     buf_x = np.zeros((nrings, L_max), dtype=np.int64)
     buf_y = np.zeros((nrings, L_max), dtype=np.int64)
-    for step in range(L_max - 1):
-        tn = to_node[cur]
-        buf_x[:, step] = node_x[tn]
-        buf_y[:, step] = node_y[tn]
-        cur = perm[cur]
+    if L_max <= 64:
+        # short rings (the common batch shape): per-step column writes
+        for step in range(L_max - 1):
+            tn = to_node[cur]
+            buf_x[:, step] = node_x[tn]
+            buf_y[:, step] = node_y[tn]
+            cur = perm[cur]
+    else:
+        # LONG rings (e.g. one 400k-point spiral ring): the per-step python
+        # loop would run L_max iterations, so compute each directed edge's
+        # RANK from its ring's start edge by pointer-doubling list ranking
+        # (O(m log m) vectorized) and scatter points into the buffers.
+        # Ranks follow the INVERSE permutation from each edge back to its
+        # ring's absorbing start edge; the reverse-direction orbit of a ring
+        # shares its label but never reaches the absorbing edge, so its
+        # ranks blow past the ring length and the <= L-2 filter drops it.
+        m2 = 2 * m
+        ids2 = np.arange(m2, dtype=np.int64)
+        ip = np.empty(m2, dtype=np.int64)
+        ip[perm] = ids2
+        ip[cur] = cur  # absorb at each fast ring's start edge
+        dist = np.where(ip == ids2, 0, 1).astype(np.int64)
+        p = ip
+        for _ in range(int(np.ceil(np.log2(max(m2, 2)))) + 1):
+            dist = dist + dist[p]
+            p = p[p]
+        ring_row = np.full(m, -1, dtype=np.int64)
+        ring_row[s] = np.arange(nrings, dtype=np.int64)
+        rows_e = ring_row[val]
+        ok = rows_e >= 0
+        ok[ok] &= dist[ok] <= lens[rows_e[ok]] - 2
+        ee = np.flatnonzero(ok)
+        tn = to_node[ee]
+        buf_x[rows_e[ee], dist[ee]] = node_x[tn]
+        buf_y[rows_e[ee], dist[ee]] = node_y[tn]
 
     # back to per-job coordinates (vectorized); emission order = scalar walk
     # order (ascending start link within each slot)

@@ -453,9 +453,48 @@ def extract_shapes(
     `contours` may carry precomputed [(ring_points, is_hole)] (the batch kernel's
     vectorized degree-2 walk) — must equal walk_contours' output exactly."""
     clockwise_output = options.output_direction == ContourDirection.CLOCKWISE
+    if contours is None and graph is None and len(segs) >= 4096:
+        # big single-job graphs (e.g. a spiral's 400k-link ring): try the
+        # vectorized degree-2 walk before the per-link python loop; pinch
+        # nodes / degenerate incidences return None and fall through
+        contours = _fast_walk_contours(segs, fills, rule, clockwise_output, boundary)
     if contours is None:
         contours = walk_contours(segs, fills, rule, clockwise_output, boundary, graph)
     return finalize_contours(contours, options)
+
+
+def _fast_walk_contours(segs, fills, rule, clockwise_output, boundary):
+    """walk_contours-identical [(ring, hole)] via the batch kernel's vectorized
+    degree-2 walk over ONE whole segment set (single slot, unbounded ring
+    length — long rings take its list-ranking branch), or None when the graph
+    has nodes the fast walk cannot serve (the caller then runs the scalar
+    walk)."""
+    from .batch import _fast_contours_batch
+
+    mask = boundary_mask(fills, rule) if boundary is None else boundary
+    if not mask.any():
+        return []
+    starts = np.array([0, len(segs)], dtype=np.int64)
+    tile_fast, ring_data = _fast_contours_batch(
+        segs, mask, fills, starts, rule, clockwise_output,
+        np.zeros(1, dtype=np.int64), 0, max_ring=1 << 62,
+    )
+    if not tile_fast[0]:
+        return None
+    if ring_data is None:
+        return []
+    out = []
+    for i in range(len(ring_data["slot"])):
+        L = int(ring_data["len"][i])
+        ring = [(int(ring_data["first_x"][i]), int(ring_data["first_y"][i]))]
+        ring.extend(
+            zip(
+                ring_data["buf_x"][i, : L - 1].tolist(),
+                ring_data["buf_y"][i, : L - 1].tolist(),
+            )
+        )
+        out.append((ring, bool(ring_data["hole"][i])))
+    return out
 
 
 def finalize_contours(contours: list, options: OverlayOptions) -> list[list[np.ndarray]]:

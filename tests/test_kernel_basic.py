@@ -309,3 +309,73 @@ def test_apply_marks_matches_scalar_reference():
             if rng.random() < 0.3 and marks:
                 marks.append(marks[-1])
         assert canon(_apply_marks(s, marks)) == canon(_apply_marks_ref(s, marks))
+
+
+def test_fast_walk_contours_matches_scalar():
+    """extract_shapes' vectorized degree-2 fast walk (incl. the list-ranking
+    long-ring branch, rings > 64 points) must be contour-for-contour identical
+    to walk_contours; pinch graphs must fall back (None)."""
+    import numpy as np
+
+    from ioverlay_spark.kernel.extract import _fast_walk_contours, walk_contours
+    from ioverlay_spark.kernel.fill import compute_fills
+    from ioverlay_spark.kernel.segments import Segments, build_segments
+    from ioverlay_spark.kernel.split import split_segments
+    from ioverlay_spark.options import FillRule, OverlayRule
+
+    def compare(segs, fills, rule):
+        fast = _fast_walk_contours(segs, fills, rule, False, None)
+        walk = walk_contours(segs, fills, rule, False)
+        if fast is None:
+            return None
+        assert len(fast) == len(walk)
+        for a, b in zip(fast, walk):
+            assert [tuple(p) for p in a[0]] == [tuple(p) for p in b[0]]
+            assert a[1] == b[1]
+        return True
+
+    # one long ring (> 64 points: exercises the list-ranking branch)
+    t = np.linspace(0, 2 * np.pi, 300, endpoint=False)
+    ring = np.stack(
+        [np.round(10000 * np.cos(t)), np.round(10000 * np.sin(t))], axis=1
+    ).astype(np.int64)
+    segs = split_segments(build_segments([ring], True))
+    assert compare(segs, compute_fills(segs, FillRule.NON_ZERO), OverlayRule.SUBJECT)
+
+    # hull + hole
+    sq = lambda s: np.array([[-s, -s], [s, -s], [s, s], [-s, s]], dtype=np.int64)
+    segs = split_segments(
+        Segments.concat(
+            [build_segments([sq(100)], True), build_segments([sq(50)[::-1]], True)]
+        )
+    )
+    assert compare(segs, compute_fills(segs, FillRule.NON_ZERO), OverlayRule.SUBJECT)
+
+    # degree-4 pinch (XOR corner touch) must fall back to the scalar walk
+    a = np.array([[0, 0], [100, 0], [100, 100], [0, 100]], dtype=np.int64)
+    b = np.array([[100, 100], [200, 100], [200, 200], [100, 200]], dtype=np.int64)
+    segs = split_segments(
+        Segments.concat([build_segments([a], True), build_segments([b], False)])
+    )
+    assert (
+        _fast_walk_contours(
+            segs, compute_fills(segs, FillRule.EVEN_ODD), OverlayRule.XOR, False, None
+        )
+        is None
+    )
+
+    # random soups across rules
+    rng = np.random.default_rng(31)
+    for trial in range(15):
+        mk = lambda npts, span: rng.integers(-span, span, (npts, 2)).astype(np.int64)
+        segs = split_segments(
+            Segments.concat(
+                [
+                    build_segments([mk(int(rng.integers(3, 80)), 300) for _ in range(3)], True),
+                    build_segments([mk(int(rng.integers(3, 80)), 300) for _ in range(2)], False),
+                ]
+            )
+        )
+        fills = compute_fills(segs, FillRule.NON_ZERO)
+        for rule in (OverlayRule.UNION, OverlayRule.INTERSECT, OverlayRule.XOR):
+            compare(segs, fills, rule)
