@@ -419,8 +419,30 @@ def _fast_contours_batch(
     ends = np.empty((2 * m, 2), dtype=np.int64)
     ends[0::2, 0], ends[0::2, 1] = lax, lay
     ends[1::2, 0], ends[1::2, 1] = lbx, lby
-    v = ends.view([("x", np.int64), ("y", np.int64)]).ravel()
-    _, inv = np.unique(v, return_inverse=True)
+    # ONE stable int64 argsort yields BOTH the node ids (inverse of unique)
+    # AND the per-node entry order: entries sorted by key with stable
+    # tie-break ARE argsort(inv, kind="stable"). The structured-pair
+    # np.unique + separate stable argsort this replaces were the walk's two
+    # dominant sorts (~2.8 s of a 3.7 s kernel at 1 M links, lines_net audit);
+    # pairs pack into one int64 whenever both spans fit 2^31 (always, for
+    # in-cap coordinate grids). Wider spans keep the structured path.
+    mnx = int(ends[:, 0].min())
+    mny = int(ends[:, 1].min())
+    spanx = int(ends[:, 0].max()) - mnx
+    spany = int(ends[:, 1].max()) - mny
+    if spanx < (1 << 31) and spany < (1 << 31):
+        key = (ends[:, 0] - mnx) * (spany + 1) + (ends[:, 1] - mny)
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        ng = np.empty(len(sk), dtype=bool)
+        ng[0] = True
+        ng[1:] = sk[1:] != sk[:-1]
+        inv = np.empty(len(sk), dtype=np.int64)
+        inv[order] = np.cumsum(ng) - 1
+    else:
+        v = ends.view([("x", np.int64), ("y", np.int64)]).ravel()
+        _, inv = np.unique(v, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
     a_node = inv[0::2]
     b_node = inv[1::2]
     deg = np.bincount(inv)
@@ -428,8 +450,9 @@ def _fast_contours_batch(
     if bad_entries.any():
         bad_links = np.unique(np.repeat(np.arange(m), 2)[bad_entries])
         tile_fast[np.unique(link_slot[bad_links])] = False
-    # incidence pairs per degree-2 node, in scalar scan order (entry index)
-    order = np.argsort(inv, kind="stable")
+    # incidence pairs per degree-2 node, in scalar scan order (entry index):
+    # `order` (computed with the node ids above) is already
+    # argsort(inv, kind="stable")
     link_of_entry = np.repeat(np.arange(m, dtype=np.int64), 2)
     n_nodes = len(deg)
     # only degree-2 nodes are addressed below; build dense (n_nodes, 2) tables

@@ -28,6 +28,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -89,7 +90,21 @@ def _cell_cover_expr(level_col_free: int, grid_min: int, cell_size: int):
 _PAIR_BLOCK = int(os.environ.get("SPARK_GRAFT_PAIR_BLOCK", "4000000"))
 
 
-def _find_marks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+_MARKS_ARROW_SCHEMA = pa.schema(
+    [
+        ("ax", pa.int64()),
+        ("ay", pa.int64()),
+        ("bx", pa.int64()),
+        ("by", pa.int64()),
+        ("px", pa.int64()),
+        ("py", pa.int64()),
+        ("is_round", pa.bool_()),
+        ("col_ovl", pa.bool_()),
+    ]
+)
+
+
+def _find_marks_kernel(tbl: pa.Table) -> pa.Table:
     """Per-cell exact pairwise crossing detection (A6/A7): vectorized candidate
     window + orientation-sign prefilter (kernel/batch.interacting_mask, incl. the
     collinear-overlap refinement that keeps same-line chains from flooding the
@@ -100,14 +115,17 @@ def _find_marks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     cell near the hot threshold materializes at most ~_PAIR_BLOCK-row index
     arrays at a time instead of one O(total-pairs) allocation. Coordinates at or
     beyond the int64-product cap (2^30) take the scalar python-int solver.
-    Emits split marks keyed by segment coordinates."""
+    Emits split marks keyed by segment coordinates (Arrow-native: zero-copy in,
+    flat numpy columns out — the mark set is the round's largest dataset)."""
     from ..kernel.batch import _COORD_CAP, interacting_mask
     from ..kernel.cross_vec import cross_pairs_batch
 
-    ax = pdf["ax"].to_numpy(np.int64)
-    ay = pdf["ay"].to_numpy(np.int64)
-    bx = pdf["bx"].to_numpy(np.int64)
-    by = pdf["by"].to_numpy(np.int64)
+    def col(name):
+        return tbl.column(name).to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+
+    ax, ay, bx, by = col("ax"), col("ay"), col("bx"), col("by")
     n = len(ax)
     rows = []  # scalar-path rows (wide coords only)
     outs = []  # vectorized-path column blocks
@@ -174,22 +192,28 @@ def _find_marks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                 if len(pid):
                     si = np.where(which == 0, i_rep[pid], j[pid])
                     outs.append((ax[si], ay[si], bx[si], by[si], mx, my, rnd, coll[pid]))
-    if outs:
-        cols = [np.concatenate([o[k] for o in outs]) for k in range(8)]
-        out = pd.DataFrame(
-            {
-                "ax": cols[0], "ay": cols[1], "bx": cols[2], "by": cols[3],
-                "px": cols[4], "py": cols[5], "is_round": cols[6], "col_ovl": cols[7],
-            }
+    if rows:
+        # wide-coordinate scalar rows -> numpy blocks appended to the outs list
+        rc = list(zip(*rows))
+        outs.append(
+            tuple(np.asarray(rc[k], dtype=np.int64) for k in range(6))
+            + (np.asarray(rc[6], dtype=bool), np.asarray(rc[7], dtype=bool))
         )
-        if rows:
-            out = pd.concat(
-                [out, pd.DataFrame(rows, columns=list(out.columns))],
-                ignore_index=True,
-            )
-        return out
-    return pd.DataFrame(
-        rows, columns=["ax", "ay", "bx", "by", "px", "py", "is_round", "col_ovl"]
+    if not outs:
+        return _MARKS_ARROW_SCHEMA.empty_table()
+    cols = [np.concatenate([np.asarray(o[k]) for o in outs]) for k in range(8)]
+    return pa.Table.from_arrays(
+        [
+            pa.array(cols[0].astype(np.int64, copy=False)),
+            pa.array(cols[1].astype(np.int64, copy=False)),
+            pa.array(cols[2].astype(np.int64, copy=False)),
+            pa.array(cols[3].astype(np.int64, copy=False)),
+            pa.array(cols[4].astype(np.int64, copy=False)),
+            pa.array(cols[5].astype(np.int64, copy=False)),
+            pa.array(cols[6].astype(bool, copy=False)),
+            pa.array(cols[7].astype(bool, copy=False)),
+        ],
+        schema=_MARKS_ARROW_SCHEMA,
     )
 
 
@@ -299,10 +323,10 @@ def split_round(
     shuffle of the mark set per round (duplicates exist only for pairs spanning
     cell borders, a thin sliver of the cover)."""
     cover, loads = salted_cover(segs, cells_per_axis, hot_threshold, bounds)
-    marks = cover.groupBy("cx", "cy", "sx", "sy").applyInPandas(
+    marks = cover.groupBy("cx", "cy", "sx", "sy").applyInArrow(
         # groupBy hash-shuffles on the key; an explicit repartition first would
         # add a second full shuffle
-        lambda pdf: _find_marks_kernel(pdf),
+        lambda tbl: _find_marks_kernel(tbl),
         schema=MARKS_SCHEMA,
     )
     if dedup:
@@ -315,6 +339,7 @@ def apply_marks_df(
     marks: DataFrame,
     extra_aggs: dict[str, str] | None = None,
     skip_final_merge: bool = False,
+    explode_partitions: int | None = None,
 ) -> DataFrame:
     """A8 as pure Column ops: group marks per segment, sort along the segment,
     explode the sub-segment chain, renormalize direction/counts, re-merge.
@@ -327,11 +352,21 @@ def apply_marks_df(
     marks contain no collinear-overlap pairs AND no snap-rounded marks:
     sub-segments lie on their parent's line, so coincidences require a
     collinear-overlap parent pair, and rounding can move points onto new
-    coincidences (the fixpoint's next round handles those through its merge)."""
+    coincidences (the fixpoint's next round handles those through its merge).
+
+    explode_partitions: when chains are LONG (few segments carrying many marks
+    each — the crossing-dense shape), the mark agg's output is only a few rows
+    of fat arrays, AQE coalesces it to a handful of partitions, and the chain
+    explode + every downstream map stage serialize on them (measured 17
+    partitions for a 2.1 M-mark lines_net round). Callers that detect the
+    long-chain regime pass the shuffle-partition count here to re-spread the
+    joined rows BEFORE the explode (a cheap shuffle: one row per segment)."""
     grouped = marks.groupBy("ax", "ay", "bx", "by").agg(
         F.collect_set(F.struct("px", "py")).alias("mks")
     )
     j = segs.join(grouped, ["ax", "ay", "bx", "by"], "left")
+    if explode_partitions:
+        j = j.repartition(explode_partitions)
 
     # sort key: x asc, then y toward b (sign of by-ay); marks equal to endpoints
     # drop via an O(n) filter — collect_set already guarantees uniqueness, and
@@ -403,16 +438,23 @@ def split_segments_df(
     checkpoint_dir: str | None = None,
     extra_aggs: dict[str, str] | None = None,
     pre_merged: bool = False,
+    bounds: tuple[int, int, int, int, int] | None = None,
 ) -> DataFrame:
     """A9 fixpoint: repeat split rounds until no marks (rounded intersections can
     move sub-segments onto new crossings). Each round localCheckpoints (or writes a
     durable checkpoint when checkpoint_dir is set). pre_merged=True skips the
-    initial coincident-merge job when the caller already ran it."""
+    initial coincident-merge job when the caller already ran it; `bounds` (the
+    _count_and_bounds tuple of the input) skips round 0's metadata job when the
+    caller already measured it."""
     if not pre_merged:
         segs = merge_segments_df(segs, extra_aggs).localCheckpoint(eager=True)
+        bounds = None  # caller bounds described the pre-merge set
     last_n = None
+    n_hint = None  # upper bound on the output row count (fills sizing hint)
+    spark_parts = int(segs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     for rnd in range(max_rounds):
-        bounds = _count_and_bounds(segs)  # one scalar job: count + bbox together
+        if bounds is None:
+            bounds = _count_and_bounds(segs)  # one scalar job: count + bbox
         last_n = bounds[0]
         # parallelism floor: crossing-DENSE inputs (few long segments, many
         # intersections) would otherwise land in one cell and serialize the
@@ -437,11 +479,27 @@ def split_segments_df(
             F.max("col_ovl").alias("any_col"),
         ).first()
         if probe["n"] == 0:
+            n_hint = last_n  # exact: nothing was applied this round
             break
         need_fix = bool(probe["any_round"])
         has_col = bool(probe["any_col"])
+        n_marks = int(probe["n"])
+        pre_count = bounds[0]
+        # long-chain regime (see apply_marks_df): many marks over few segments
+        # means the mark agg output is a few fat-array rows that AQE coalesces,
+        # serializing the explode — re-spread it. When segments outnumber
+        # chains the agg output is already wide; skip the extra shuffle.
+        explode_parts = (
+            spark_parts
+            if n_marks >= 250_000 and bounds[0] <= n_marks // 4
+            else None
+        )
         segs = apply_marks_df(
-            segs, marks, extra_aggs, skip_final_merge=not need_fix and not has_col
+            segs,
+            marks,
+            extra_aggs,
+            skip_final_merge=not need_fix and not has_col,
+            explode_partitions=explode_parts,
         )
         if checkpoint_dir is not None:
             path = f"{checkpoint_dir}/split_r{rnd}"
@@ -450,9 +508,16 @@ def split_segments_df(
         else:
             segs = segs.localCheckpoint(eager=True)
         last_n = None  # marks were applied after the count; stale
+        bounds = None
         if not need_fix:
+            # terminal round: each mark row adds at most one sub-segment to one
+            # parent, so pre-count + mark rows bounds the output — close enough
+            # for the fills stage's strip sizing without a count job
+            n_hint = pre_count + n_marks
             break
-    segs._ioverlay_n_segments = last_n  # fills sizing hint (skips a count job)
+    if n_hint is None:
+        n_hint = last_n
+    segs._ioverlay_n_segments = n_hint  # fills sizing hint (skips a count job)
     return segs
 
 
@@ -473,37 +538,59 @@ FILL_SCHEMA = StructType(
 )
 
 
+_FILL_ARROW_SCHEMA = pa.schema(
+    [
+        ("ax", pa.int64()),
+        ("ay", pa.int64()),
+        ("bx", pa.int64()),
+        ("by", pa.int64()),
+        ("subj", pa.int64()),
+        ("clip", pa.int64()),
+        ("fill", pa.int32()),
+    ]
+)
+
+
 def _strip_fill_kernel(fill_rule: FillRule, boundary_rule: OverlayRule | None = None):
     from ..kernel.extract import boundary_mask
     from ..kernel.fill import compute_fills_windowed
     from ..kernel.segments import Segments
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        local = pdf[pdf["is_home"]]
-        if local.empty:
-            return pd.DataFrame(columns=["ax", "ay", "bx", "by", "subj", "clip", "fill"])
+    def run(tbl: pa.Table) -> pa.Table:
+        def col(name, dtype=np.int64):
+            return tbl.column(name).to_numpy(zero_copy_only=False).astype(
+                dtype, copy=False
+            )
+
+        is_home = col("is_home", bool)
+        if not is_home.any():
+            return _FILL_ARROW_SCHEMA.empty_table()
         # windings of home segments against ALL segments crossing the strip:
         # compute fills on the union, then keep rows for home segments only.
-        segs = Segments(
-            pdf["ax"].to_numpy(),
-            pdf["ay"].to_numpy(),
-            pdf["bx"].to_numpy(),
-            pdf["by"].to_numpy(),
-            pdf["subj"].to_numpy(),
-            pdf["clip"].to_numpy(),
-        )
+        ax, ay, bx, by = col("ax"), col("ay"), col("bx"), col("by")
+        subj, clip = col("subj"), col("clip")
+        segs = Segments(ax, ay, bx, by, subj, clip)
         # allow_sweep=False: the group is a strip SUBSET of the global segment
         # set — only the ray-at-midpoint formulations are subset-safe
         fills = compute_fills_windowed(segs, fill_rule, allow_sweep=False)
-        mask = pdf["is_home"].to_numpy()
+        mask = is_home
         if boundary_rule is not None:
             # boundary pushdown: drop non-boundary segments for the overlay
             # rule INSIDE the fill kernel — extraction's filter runs map-side
             # here, so the fills stage ships only result-boundary rows
             mask = mask & boundary_mask(fills.astype(np.uint8), boundary_rule)
-        out = pdf.loc[mask, ["ax", "ay", "bx", "by", "subj", "clip"]].copy()
-        out["fill"] = fills[mask].astype("int32")
-        return out
+        return pa.Table.from_arrays(
+            [
+                pa.array(ax[mask]),
+                pa.array(ay[mask]),
+                pa.array(bx[mask]),
+                pa.array(by[mask]),
+                pa.array(subj[mask]),
+                pa.array(clip[mask]),
+                pa.array(fills[mask].astype(np.int32)),
+            ],
+            schema=_FILL_ARROW_SCHEMA,
+        )
 
     return run
 
@@ -527,18 +614,35 @@ def compute_fills_df(
     emits only result-boundary segments (extract_shapes_df then takes
     pre_filtered=True)."""
     spark = segs.sparkSession
+    n = getattr(segs, "_ioverlay_n_segments", None)
+    if n is None and n_strips is None:
+        n = segs.count()
     if n_strips is None:
-        n = getattr(segs, "_ioverlay_n_segments", None)
-        if n is None:
-            n = segs.count()
         # strip kernels are O(n_strip * m_strip): finer strips cut the quadratic
         # term; per-strip constants are negligible beyond ~2k segments
         n_strips = max(1, min(1024, n // 2000))
     if n_strips > 1:
-        # strip edges from midpoint quantiles (doubled-coordinate midpoints)
+        # strip edges from SAMPLED midpoint quantiles (doubled-coordinate
+        # midpoints). Strip edges only steer load balance — fill values are
+        # exact for ANY strip boundaries (each segment is still evaluated
+        # against everything crossing its home strip) — so a bounded random
+        # sample replaces the full-scan approxQuantile: one cheap job whose
+        # cost is independent of the segment count (the full scan was a
+        # second full pass over the post-split set).
         mids = segs.select(((F.col("ax") + F.col("bx"))).alias("mx2"))
-        qs = mids.approxQuantile("mx2", [i / n_strips for i in range(1, n_strips)], 0.001)
-        edges = sorted(set(int(q) for q in qs))
+        # unknown n (explicit n_strips, no hint): sample nothing away — small
+        # callers pass explicit strip counts on small data
+        frac = min(1.0, 400_000 / max(n, 1)) if n is not None else 1.0
+        if frac < 1.0:
+            mids = mids.sample(fraction=frac, seed=7)
+        vals = mids.toPandas()["mx2"].to_numpy(np.int64)
+        if len(vals):
+            qs = np.quantile(
+                vals, [i / n_strips for i in range(1, n_strips)], method="lower"
+            )
+            edges = sorted(set(int(q) for q in qs))
+        else:
+            edges = []
     else:
         edges = []
 
@@ -580,7 +684,7 @@ def compute_fills_df(
     )
     return (
         with_strips.groupBy("strip")  # hash-shuffles on strip; no extra repartition
-        .applyInPandas(_strip_fill_kernel(fill_rule, boundary_rule), schema=FILL_SCHEMA)
+        .applyInArrow(_strip_fill_kernel(fill_rule, boundary_rule), schema=FILL_SCHEMA)
     )
 
 
@@ -697,9 +801,14 @@ def distributed_overlay(
                     _local_overlay_kernel(rule, fill_rule, options), schema=RINGS_OUT_SCHEMA
                 )
             )
-    split = split_segments_df(merged, checkpoint_dir=checkpoint_dir, pre_merged=True)
+    split = split_segments_df(
+        merged, checkpoint_dir=checkpoint_dir, pre_merged=True, bounds=bounds
+    )
     fills = compute_fills_df(split, fill_rule, boundary_rule=rule)
-    return extract_shapes_df(fills, rule, options, pre_filtered=True)
+    # splitting never leaves the input bbox, so the merge-stage bounds cap the
+    # coordinates of every downstream row — extract can skip its max scan
+    cmax_hint = max(abs(bounds[1]), abs(bounds[2]), abs(bounds[3]), abs(bounds[4]))
+    return extract_shapes_df(fills, rule, options, pre_filtered=True, cmax_hint=cmax_hint)
 
 
 def contours_to_segments_df(spark: SparkSession, contours_df: DataFrame) -> DataFrame:

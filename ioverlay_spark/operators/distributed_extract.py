@@ -12,8 +12,11 @@ hole binding     -> distributed "first segment strictly below the anchor" scan:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -58,17 +61,15 @@ def boundary_segments_df(fills: DataFrame, rule: OverlayRule) -> DataFrame:
     ).drop("s_top", "s_bot", "c_top", "c_bot")
 
 
-def _union_find_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Single-task connected components over one edge batch:
-    (node, component = min node id of the component).
+def _cc_label_arrays(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized min-label connected components with pointer jumping (numpy,
+    O(E) per round, O(log diameter) rounds) — the python-dict DSU this replaces
+    was the extract stage's single-threaded bottleneck at ~1M edges (lines_net
+    audit, BENCH.md). Labels are indices into the SORTED unique node array, so
+    the converged minimum label is exactly the minimum node id.
 
-    Vectorized min-label propagation with pointer jumping (numpy, O(E) per
-    round, O(log diameter) rounds) — the python-dict DSU this replaces was the
-    extract stage's single-threaded bottleneck at ~1M edges (lines_net audit,
-    BENCH.md). Labels are indices into the SORTED unique node array, so the
-    converged minimum label is exactly the minimum node id."""
-    u = pdf["u"].to_numpy(np.int64)
-    v = pdf["v"].to_numpy(np.int64)
+    Returns (nodes, parent): unique sorted node ids and, per node, the index of
+    its component's minimum node."""
     nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
     ui, vi = inv[: len(u)], inv[len(u):]
     parent = np.arange(len(nodes), dtype=np.int64)
@@ -85,7 +86,19 @@ def _union_find_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if np.array_equal(new, parent):
             break
         parent = new
-    return pd.DataFrame({"node": nodes, "component": nodes[parent]})
+    return nodes, parent
+
+
+def _union_find_kernel(tbl: pa.Table) -> pa.Table:
+    """Single-task connected components over one edge batch:
+    (node, component = min node id of the component). Arrow-native: the edge
+    columns come in zero-copy and the node map goes back as two flat int64
+    arrays — no pandas wrap on a path that moves millions of rows through one
+    task."""
+    u = tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    v = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    nodes, parent = _cc_label_arrays(u, v)
+    return pa.table({"node": pa.array(nodes), "component": pa.array(nodes[parent])})
 
 
 def connected_components(
@@ -118,7 +131,7 @@ def connected_components(
         return (
             canon.withColumn("_g", F.lit(0))
             .groupBy("_g")
-            .applyInPandas(lambda pdf: _union_find_kernel(pdf), schema=schema)
+            .applyInArrow(lambda tbl: _union_find_kernel(tbl), schema=schema)
         )
     e = canon.distinct()
     # undirected -> keep both directions for neighborhood construction
@@ -197,45 +210,92 @@ RINGS_SCHEMA = StructType(
 )
 
 
+_RINGS_ARROW_SCHEMA = pa.schema(
+    [
+        ("component", pa.int64()),
+        ("ring_id", pa.int64()),
+        ("is_hole", pa.bool_()),
+        ("pts_x", pa.list_(pa.int64())),
+        ("pts_y", pa.list_(pa.int64())),
+        ("area2", pa.int64()),
+        ("anchor_x", pa.int64()),
+        ("anchor_y", pa.int64()),
+    ]
+)
+
+
+def _col_np(tbl: pa.Table, name: str, dtype=np.int64) -> np.ndarray:
+    return tbl.column(name).to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+
+
 def _extract_kernel(rule: OverlayRule, options: OverlayOptions):
-    """Kernel over a SALT group holding MANY components (one applyInPandas group
+    """Kernel over a SALT group holding MANY components (one grouped-map call
     per component would pay per-group Arrow overhead x millions of components;
-    salting bounds the group count while each component is still walked alone)."""
-    from ..kernel.extract import ring_area2, simplify_ring, walk_contours
-    from ..kernel.segments import Segments
+    salting bounds the group count while each component is still walked alone).
 
-    clockwise = options.output_direction == ContourDirection.CLOCKWISE
+    Arrow-native (applyInArrow): input columns land zero-copy in numpy, and the
+    rings go back as pa.ListArray built from the walk's FLAT buffers — the
+    per-ring .tolist() materialization this replaces was over half the kernel's
+    wall-clock at 262k rings (lines_net audit, BENCH.md round 4)."""
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        from types import SimpleNamespace
-
-        from ..kernel.batch import _fast_contours_batch
-        from ..kernel.extract import _LinkGraph, boundary_mask
-
-        cols = [
-            "component", "ring_id", "is_hole", "pts_x", "pts_y",
-            "area2", "anchor_x", "anchor_y",
-        ]
-        min_area2 = 2 * options.min_output_area
-        simplify = not options.preserve_output_collinear
+    def run(tbl: pa.Table) -> pa.Table:
         # globally-unique ring ids without arithmetic on component ids (packed
         # node ids reach ~2^62, so comp * K overflows int64): compose from the
         # salt-group id (disjoint across kernel invocations) and a local counter
-        salt = int(pdf["_salt"].iloc[0]) if "_salt" in pdf.columns else 0
-        if not len(pdf):
-            return pd.DataFrame([], columns=cols)
+        salt = (
+            int(tbl.column("_salt")[0].as_py())
+            if "_salt" in tbl.column_names and len(tbl)
+            else 0
+        )
+        if not len(tbl):
+            return _RINGS_ARROW_SCHEMA.empty_table()
+        comp_arr = _col_np(tbl, "component")
+        axv = _col_np(tbl, "ax")
+        ayv = _col_np(tbl, "ay")
+        bxv = _col_np(tbl, "bx")
+        byv = _col_np(tbl, "by")
+        fills_arr = _col_np(tbl, "fill", np.uint8)
+        return _extract_rings_core(
+            rule, options, comp_arr, axv, ayv, bxv, byv, fills_arr, salt
+        )
+
+    return run
+
+
+def _extract_rings_core(
+    rule: OverlayRule,
+    options: OverlayOptions,
+    comp_arr: np.ndarray,
+    axv: np.ndarray,
+    ayv: np.ndarray,
+    bxv: np.ndarray,
+    byv: np.ndarray,
+    fills_arr: np.ndarray,
+    salt: int,
+) -> pa.Table:
+    """Shared walk + Arrow emission over (component-labeled) boundary segments."""
+    from types import SimpleNamespace
+
+    from ..kernel.batch import _fast_contours_batch
+    from ..kernel.extract import (
+        _LinkGraph,
+        boundary_mask,
+        ring_area2,
+        simplify_ring,
+        walk_contours,
+    )
+
+    clockwise = options.output_direction == ContourDirection.CLOCKWISE
+    min_area2 = 2 * options.min_output_area
+    simplify = not options.preserve_output_collinear
+    if True:
         # ONE lexsort over the whole salt group + flat per-component list
         # slices (the batch kernel's shape): a pandas groupby with per-
         # component numpy gathers cost ~68us per 4-edge component on lines_net
-        comp_arr = pdf["component"].to_numpy(np.int64)
-        axv = pdf["ax"].to_numpy(np.int64)
-        ayv = pdf["ay"].to_numpy(np.int64)
-        bxv = pdf["bx"].to_numpy(np.int64)
-        byv = pdf["by"].to_numpy(np.int64)
         order = np.lexsort((byv, bxv, ayv, axv, comp_arr))
         comp_arr = comp_arr[order]
         axv, ayv, bxv, byv = axv[order], ayv[order], bxv[order], byv[order]
-        fills_arr = pdf["fill"].to_numpy()[order].astype(np.uint8)
+        fills_arr = fills_arr[order]
         bmask = boundary_mask(fills_arr, rule)
         starts = np.flatnonzero(
             np.concatenate([[True], comp_arr[1:] != comp_arr[:-1]])
@@ -257,6 +317,19 @@ def _extract_kernel(rule: OverlayRule, options: OverlayOptions):
             np.zeros(ncomp, dtype=np.int64), 0,
         )
 
+        # vectorized length-class blocks accumulate FLAT numpy buffers (ring
+        # values concatenated, per-ring lengths alongside) — pa.ListArray is
+        # assembled from them at the end without ever materializing python
+        # point lists. The rare scalar-path rings (pinch components, overflow
+        # guards) still collect python lists; they are appended at assembly.
+        blk_comp: list = []
+        blk_hole: list = []
+        blk_a2: list = []
+        blk_ax: list = []
+        blk_ay: list = []
+        blk_x: list = []
+        blk_y: list = []
+        blk_len: list = []
         out_comp: list = []
         out_hole: list = []
         out_ptsx: list = []
@@ -334,13 +407,14 @@ def _extract_kernel(rule: OverlayRule, options: OverlayOptions):
                     keep &= np.abs(a2v) >= min_area2
                 ki = np.flatnonzero(keep)
                 if len(ki):
-                    out_comp.extend(comp_of_ring[sel[ki]].tolist())
-                    out_hole.extend(r_hole[sel[ki]].tolist())
-                    out_ptsx.extend(x[ki].tolist())
-                    out_ptsy.extend(y[ki].tolist())
-                    out_a2.extend(a2v[ki].tolist())
-                    out_ax.extend(anch_x[ki].tolist())
-                    out_ay.extend(anch_y[ki].tolist())
+                    blk_comp.append(comp_of_ring[sel[ki]])
+                    blk_hole.append(np.asarray(r_hole[sel[ki]], dtype=bool))
+                    blk_a2.append(a2v[ki])
+                    blk_ax.append(anch_x[ki])
+                    blk_ay.append(anch_y[ki])
+                    blk_x.append(x[ki].ravel())
+                    blk_y.append(y[ki].ravel())
+                    blk_len.append(np.full(len(ki), L, dtype=np.int64))
                 for t in np.flatnonzero(dirty).tolist():
                     emit_scalar_ring(
                         int(comp_of_ring[sel[t]]),
@@ -362,25 +436,105 @@ def _extract_kernel(rule: OverlayRule, options: OverlayOptions):
                 for ring, hole in contours:
                     emit_scalar_ring(comp, ring, hole)
 
-        ring_ids = [salt * (1 << 40) + i + 1 for i in range(len(out_comp))]
-        return pd.DataFrame(
-            {
-                "component": out_comp,
-                "ring_id": ring_ids,
-                "is_hole": out_hole,
-                "pts_x": out_ptsx,
-                "pts_y": out_ptsy,
-                "area2": out_a2,
-                "anchor_x": out_ax,
-                "anchor_y": out_ay,
-            },
-            columns=cols,
-        )
+        # --- Arrow assembly from flat buffers ---
+        def cat(chunks, dtype):
+            return (
+                np.concatenate(chunks).astype(dtype, copy=False)
+                if chunks
+                else np.empty(0, dtype)
+            )
 
-    return run
+        comp_out = cat(blk_comp, np.int64)
+        hole_out = cat(blk_hole, bool)
+        a2_out = cat(blk_a2, np.int64)
+        ax_out = cat(blk_ax, np.int64)
+        ay_out = cat(blk_ay, np.int64)
+        lens = cat(blk_len, np.int64)
+        x_vals = cat(blk_x, np.int64)
+        y_vals = cat(blk_y, np.int64)
+        if out_comp:  # scalar-path rings (rare)
+            comp_out = np.concatenate([comp_out, np.array(out_comp, np.int64)])
+            hole_out = np.concatenate([hole_out, np.array(out_hole, bool)])
+            a2_out = np.concatenate([a2_out, np.array(out_a2, np.int64)])
+            ax_out = np.concatenate([ax_out, np.array(out_ax, np.int64)])
+            ay_out = np.concatenate([ay_out, np.array(out_ay, np.int64)])
+            lens = np.concatenate(
+                [lens, np.array([len(p) for p in out_ptsx], np.int64)]
+            )
+            x_vals = np.concatenate(
+                [x_vals] + [np.asarray(p, np.int64) for p in out_ptsx]
+            )
+            y_vals = np.concatenate(
+                [y_vals] + [np.asarray(p, np.int64) for p in out_ptsy]
+            )
+        nring = len(comp_out)
+        if nring == 0:
+            return _RINGS_ARROW_SCHEMA.empty_table()
+        ring_ids = salt * (1 << 40) + np.arange(1, nring + 1, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        off_arr = pa.array(offsets)
+        return pa.Table.from_arrays(
+            [
+                pa.array(comp_out),
+                pa.array(ring_ids),
+                pa.array(hole_out),
+                pa.ListArray.from_arrays(off_arr, pa.array(x_vals)),
+                pa.ListArray.from_arrays(off_arr, pa.array(y_vals)),
+                pa.array(a2_out),
+                pa.array(ax_out),
+                pa.array(ay_out),
+            ],
+            schema=_RINGS_ARROW_SCHEMA,
+        )
 
 
 _NODE_CAP = 1 << 30  # same bound as kernel.batch._COORD_CAP: packing is exact below it
+
+
+def _fused_extract_kernel(rule: OverlayRule, options: OverlayOptions):
+    """Single-task CC + walk FUSION for small boundary sets: one applyInPandas
+    group receives the whole boundary set, labels components in-kernel
+    (numpy union-find, the same _cc_label_arrays the one-task CC path uses)
+    and walks rings immediately via the shared _extract_kernel body.
+
+    Vs the broadcast-CC path this removes, per overlay: the edge shuffle to the
+    CC task, the node->component broadcast build, the map-side hash join and
+    the salt re-shuffle of the boundary set — the boundary rows move through
+    exactly ONE shuffle (into this task). The walk serializes on one core, but
+    below the dispatch cap the vectorized walk is ~1-2 s while the removed
+    plumbing costs more (lines_net audit, BENCH.md round 4).
+
+    Node ids: 2^30-biased packing when coordinates fit (exact), else local
+    dense ids from np.unique over the endpoint rows — exact at any width, no
+    _wide_node_ids join needed on this path."""
+    def run(tbl: pa.Table) -> pa.Table:
+        if not len(tbl):
+            return _RINGS_ARROW_SCHEMA.empty_table()
+        ax = _col_np(tbl, "ax")
+        ay = _col_np(tbl, "ay")
+        bx = _col_np(tbl, "bx")
+        by = _col_np(tbl, "by")
+        fills_arr = _col_np(tbl, "fill", np.uint8)
+        cmax = max(
+            int(np.abs(ax).max()), int(np.abs(ay).max()),
+            int(np.abs(bx).max()), int(np.abs(by).max()),
+        )
+        if cmax < _NODE_CAP:
+            u = (ax + _NODE_CAP) * (2 * _NODE_CAP) + (ay + _NODE_CAP)
+            v = (bx + _NODE_CAP) * (2 * _NODE_CAP) + (by + _NODE_CAP)
+        else:
+            pts = np.stack(
+                [np.concatenate([ax, bx]), np.concatenate([ay, by])], axis=1
+            )
+            _, inv = np.unique(pts, axis=0, return_inverse=True)
+            u, v = inv[: len(ax)].astype(np.int64), inv[len(ax):].astype(np.int64)
+        nodes, parent = _cc_label_arrays(u, v)
+        comp_of_u = nodes[parent[np.searchsorted(nodes, u)]]
+        return _extract_rings_core(
+            rule, options, comp_of_u, ax, ay, bx, by, fills_arr, 0
+        )
+
+    return run
 
 
 def _node_expr(x: str, y: str) -> F.Column:
@@ -520,34 +674,58 @@ def bind_holes_df(hulls: DataFrame, holes: DataFrame, n_bands: int = 256) -> Dat
     )
 
 
+_FUSED_EXTRACT_CAP = int(os.environ.get("SPARK_GRAFT_FUSED_EXTRACT_EDGES", "2000000"))
+
+
 def extract_shapes_df(
     fills: DataFrame,
     rule: OverlayRule,
     options: OverlayOptions = OverlayOptions(),
     band_bits: int = 13,
     pre_filtered: bool = False,
+    cmax_hint: int | None = None,
 ) -> DataFrame:
     """Full distributed extraction. Returns rings with resolved shape ids:
     (shape_id, ring_id, is_hole, pts_x, pts_y, area2).
 
     pre_filtered=True: the caller already pushed the boundary filter for
     `rule` into the fill stage (compute_fills_df boundary_rule) — skip the
-    redundant filter pass here."""
+    redundant filter pass here.
+
+    cmax_hint: an UPPER BOUND on |coordinates| when the caller knows one (the
+    overlay pipeline's global bbox — splitting never leaves it); saves the
+    per-row max scan in the metadata job (count-only agg instead)."""
     b = (fills if pre_filtered else boundary_segments_df(fills, rule)).localCheckpoint(
         eager=True
     )
 
     # one metadata job: coordinate cap for node-id packing AND the edge count
     # (reused as the CC dispatch bound, saving its limit-probe job)
-    meta = b.agg(
-        F.max(
-            F.greatest(
-                F.abs("ax"), F.abs("ay"), F.abs("bx"), F.abs("by")
-            )
-        ).alias("m"),
-        F.count("*").alias("n"),
-    ).first()
-    cmax, n_edges = meta["m"], int(meta["n"])
+    if cmax_hint is not None:
+        n_edges = b.count()
+        cmax = cmax_hint
+    else:
+        meta = b.agg(
+            F.max(
+                F.greatest(
+                    F.abs("ax"), F.abs("ay"), F.abs("bx"), F.abs("by")
+                )
+            ).alias("m"),
+            F.count("*").alias("n"),
+        ).first()
+        cmax, n_edges = meta["m"], int(meta["n"])
+    if n_edges <= _FUSED_EXTRACT_CAP:
+        # small boundary set: ONE task does CC + walk fused (node ids, labels
+        # and the vectorized component walk all in-kernel) — the boundary rows
+        # move through exactly one shuffle, no comp-map broadcast or salt
+        # re-shuffle. Differential-tested equal to the distributed path.
+        rings = (
+            b.withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInArrow(_fused_extract_kernel(rule, options), schema=RINGS_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
+        return _bind_and_project(rings)
     # matches connected_components' local_threshold: the single-task union-find
     # at 4M edges is a ~300MB working set (8M node ids + labels), well inside
     # one executor, and its comp map (~64MB) is still broadcast-friendly
@@ -580,10 +758,15 @@ def extract_shapes_df(
         # the kernel walks each component separately inside the group
         labeled.withColumn("_salt", F.pmod(F.hash("component"), F.lit(8 * n_part)))
         .groupBy("_salt")
-        .applyInPandas(_extract_kernel(rule, options), schema=RINGS_SCHEMA)
+        .applyInArrow(_extract_kernel(rule, options), schema=RINGS_SCHEMA)
         .localCheckpoint(eager=True)
     )
+    return _bind_and_project(rings)
 
+
+def _bind_and_project(rings: DataFrame) -> DataFrame:
+    """Shared tail of both extract plans: hole->hull binding + final shape-id
+    projection over the checkpointed raw rings."""
     hulls = rings.where(~F.col("is_hole"))
     holes = rings.where(F.col("is_hole"))
     if holes.isEmpty():

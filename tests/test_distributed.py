@@ -261,6 +261,41 @@ def test_distributed_extract_no_ring_collect(spark, board, monkeypatch):
     assert sum(collected) <= 4, f"driver materialized {sum(collected)} rows"
 
 
+def test_fused_extract_matches_salted_path(spark, board, monkeypatch):
+    """The fused single-task CC+walk extract (small boundary sets) must emit
+    exactly the rings of the broadcast-CC + salt-walk plan — same areas, same
+    hole structure, same point sets (XOR board: frame hull + hole)."""
+    import ioverlay_spark.operators.distributed_extract as dx
+    from ioverlay_spark.options import FillRule, OverlayRule
+    from ioverlay_spark.operators.distributed import (
+        compute_fills_df,
+        contours_to_segments_df,
+        split_segments_df,
+    )
+
+    subj, clip, df = board
+    fills = compute_fills_df(
+        split_segments_df(contours_to_segments_df(spark, df)), FillRule.EVEN_ODD
+    ).localCheckpoint(eager=True)
+
+    def canon(pdf):
+        rows = []
+        for r in pdf.itertuples():
+            pts = sorted(zip(r.pts_x, r.pts_y))
+            rows.append((bool(r.is_hole), int(r.area2), tuple(pts)))
+        return sorted(rows)
+
+    fused = dx.extract_shapes_df(fills, OverlayRule.XOR).toPandas()
+    monkeypatch.setattr(dx, "_FUSED_EXTRACT_CAP", 0)
+    salted = dx.extract_shapes_df(fills, OverlayRule.XOR).toPandas()
+    assert canon(fused) == canon(salted)
+    assert len(fused) == 2
+    # shape ids resolve hole->hull identically on both paths
+    for pdf in (fused, salted):
+        hull_ids = set(pdf.loc[~pdf["is_hole"], "ring_id"])
+        assert set(pdf.loc[pdf["is_hole"], "shape_id"]).issubset(hull_ids)
+
+
 def lines_net(n: int, a: int = 20):
     """The reference's lines_net scenario (performance/rust_app many_lines_x/y):
     n vertical strips (subject) x n horizontal strips (clip), width a/2 at
