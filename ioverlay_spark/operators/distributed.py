@@ -340,6 +340,7 @@ def apply_marks_df(
     extra_aggs: dict[str, str] | None = None,
     skip_final_merge: bool = False,
     explode_partitions: int | None = None,
+    packed: bool = False,
 ) -> DataFrame:
     """A8 as pure Column ops: group marks per segment, sort along the segment,
     explode the sub-segment chain, renormalize direction/counts, re-merge.
@@ -360,10 +361,26 @@ def apply_marks_df(
     explode + every downstream map stage serialize on them (measured 17
     partitions for a 2.1 M-mark lines_net round). Callers that detect the
     long-chain regime pass the shuffle-partition count here to re-spread the
-    joined rows BEFORE the explode (a cheap shuffle: one row per segment)."""
-    grouped = marks.groupBy("ax", "ay", "bx", "by").agg(
-        F.collect_set(F.struct("px", "py")).alias("mks")
-    )
+    joined rows BEFORE the explode (a cheap shuffle: one row per segment).
+
+    packed=True (callers that KNOW |coords| < 2^30, the engine's int64-product
+    cap): each mark packs into ONE BIGINT whose lexicographic order is exactly
+    the along-segment order ((px, py-toward-b) — the CASE folds the direction
+    sign into the key), so the agg collects primitive longs, array_sort
+    compares longs (codegen, no struct comparators), and the chain unpacks
+    with pure arithmetic after the explode. The wide-coordinate fallback keeps
+    the struct formulation."""
+    C = 1 << 30
+    TC = 1 << 31
+    if packed:
+        key = f"(px + {C}) * {TC} + (CASE WHEN by >= ay THEN py ELSE -py END + {C})"
+        grouped = marks.groupBy("ax", "ay", "bx", "by").agg(
+            F.expr(f"collect_set({key})").alias("mks")
+        )
+    else:
+        grouped = marks.groupBy("ax", "ay", "bx", "by").agg(
+            F.collect_set(F.struct("px", "py")).alias("mks")
+        )
     j = segs.join(grouped, ["ax", "ay", "bx", "by"], "left")
     if explode_partitions:
         j = j.repartition(explode_partitions)
@@ -372,27 +389,41 @@ def apply_marks_df(
     # drop via an O(n) filter — collect_set already guarantees uniqueness, and
     # the array_distinct this replaces is O(n^2) interpreted struct comparisons
     # (measured: a 2.1M-mark lines_net round spent ~60 s in it — ~1.1 billion
-    # comparisons over 512-mark chains). The sort uses DEFAULT struct ordering
-    # on a computed key field — a comparator lambda here would be interpreted
-    # per comparison (no codegen) and dominates wall-clock when segments carry
-    # hundreds of marks.
-    chain = """
-      concat(
-        array(struct(ax AS px, ay AS py)),
-        transform(
-          array_sort(
+    # comparisons over 512-mark chains). The sort uses DEFAULT ordering
+    # (packed: primitive longs; wide: a computed struct key field) — a
+    # comparator lambda here would be interpreted per comparison (no codegen)
+    # and dominates wall-clock when segments carry hundreds of marks.
+    if packed:
+        ka = f"((ax + {C}) * {TC} + (CASE WHEN by >= ay THEN ay ELSE -ay END + {C}))"
+        kb = f"((bx + {C}) * {TC} + (CASE WHEN by >= ay THEN by ELSE -by END + {C}))"
+        chain = f"""
+          concat(
+            array({ka}),
+            array_sort(filter(coalesce(mks, array()),
+                              k -> k != {ka} AND k != {kb})),
+            array({kb})
+          )
+        """
+        pair_struct = "(p, q) -> struct(p AS p, q AS q)"
+    else:
+        chain = """
+          concat(
+            array(struct(ax AS px, ay AS py)),
             transform(
-              filter(coalesce(mks, array()),
-                     m -> NOT ((m.px = ax AND m.py = ay) OR (m.px = bx AND m.py = by))),
-              m -> struct(m.px AS px,
-                          CASE WHEN by >= ay THEN m.py ELSE -m.py END AS k,
-                          m.py AS py))
-          ),
-          s -> struct(s.px AS px, s.py AS py)
-        ),
-        array(struct(bx AS px, by AS py))
-      )
-    """
+              array_sort(
+                transform(
+                  filter(coalesce(mks, array()),
+                         m -> NOT ((m.px = ax AND m.py = ay) OR (m.px = bx AND m.py = by))),
+                  m -> struct(m.px AS px,
+                              CASE WHEN by >= ay THEN m.py ELSE -m.py END AS k,
+                              m.py AS py))
+              ),
+              s -> struct(s.px AS px, s.py AS py)
+            ),
+            array(struct(bx AS px, by AS py))
+          )
+        """
+        pair_struct = "(p, q) -> struct(p.px AS px, p.py AS py, q.px AS qx, q.py AS qy)"
     # Pair CONSECUTIVE chain points MAP-SIDE: zip the chain with itself shifted
     # by one (two slices) — no window, so each split round drops a per-segment
     # shuffle+sort stage. Two Catalyst traps drive the exact shape of this
@@ -408,20 +439,47 @@ def apply_marks_df(
     pairs = f"""
     flatten(transform(array({chain}), ch ->
       zip_with(slice(ch, 1, size(ch) - 1), slice(ch, 2, size(ch)),
-               (p, q) -> struct(p.px AS px, p.py AS py, q.px AS qx, q.py AS qy))))
+               {pair_struct})))
     """
-    paired = j.select(
+    if packed:
+        paired = j.select(
+            "subj",
+            "clip",
+            *[F.col(c) for c in (extra_aggs or {})],
+            (F.col("by") >= F.col("ay")).alias("_ypos"),
+            F.explode(F.expr(pairs)).alias("e"),
+        )
+        # arithmetic unpack (p >= 0, so % is already the floor remainder)
+        pxs = F.expr(f"e.p DIV {TC} - {C}")
+        pyt = F.expr(f"e.p % {TC} - {C}")
+        qxs = F.expr(f"e.q DIV {TC} - {C}")
+        qyt = F.expr(f"e.q % {TC} - {C}")
+        pys = F.when(F.col("_ypos"), pyt).otherwise(-pyt)
+        qys = F.when(F.col("_ypos"), qyt).otherwise(-qyt)
+    else:
+        paired = j.select(
+            "subj",
+            "clip",
+            *[F.col(c) for c in (extra_aggs or {})],
+            F.explode(F.expr(pairs)).alias("e"),
+        )
+        pxs, pys = F.col("e.px"), F.col("e.py")
+        qxs, qys = F.col("e.qx"), F.col("e.qy")
+    paired = paired.select(
         "subj",
         "clip",
         *[F.col(c) for c in (extra_aggs or {})],
-        F.explode(F.expr(pairs)).alias("e"),
+        pxs.alias("_px"),
+        pys.alias("_py"),
+        qxs.alias("_qx"),
+        qys.alias("_qy"),
     )
-    fwd = F.expr("e.px < e.qx OR (e.px = e.qx AND e.py < e.qy)")
+    fwd = F.expr("_px < _qx OR (_px = _qx AND _py < _qy)")
     out = paired.select(
-        F.when(fwd, F.col("e.px")).otherwise(F.col("e.qx")).alias("ax"),
-        F.when(fwd, F.col("e.py")).otherwise(F.col("e.qy")).alias("ay"),
-        F.when(fwd, F.col("e.qx")).otherwise(F.col("e.px")).alias("bx"),
-        F.when(fwd, F.col("e.qy")).otherwise(F.col("e.py")).alias("by"),
+        F.when(fwd, F.col("_px")).otherwise(F.col("_qx")).alias("ax"),
+        F.when(fwd, F.col("_py")).otherwise(F.col("_qy")).alias("ay"),
+        F.when(fwd, F.col("_qx")).otherwise(F.col("_px")).alias("bx"),
+        F.when(fwd, F.col("_qy")).otherwise(F.col("_py")).alias("by"),
         F.when(fwd, F.col("subj")).otherwise(-F.col("subj")).alias("subj"),
         F.when(fwd, F.col("clip")).otherwise(-F.col("clip")).alias("clip"),
         *[F.col(c) for c in (extra_aggs or {})],
@@ -439,13 +497,26 @@ def split_segments_df(
     extra_aggs: dict[str, str] | None = None,
     pre_merged: bool = False,
     bounds: tuple[int, int, int, int, int] | None = None,
+    checkpoint_last: bool = True,
 ) -> DataFrame:
     """A9 fixpoint: repeat split rounds until no marks (rounded intersections can
     move sub-segments onto new crossings). Each round localCheckpoints (or writes a
     durable checkpoint when checkpoint_dir is set). pre_merged=True skips the
     initial coincident-merge job when the caller already ran it; `bounds` (the
     _count_and_bounds tuple of the input) skips round 0's metadata job when the
-    caller already measured it."""
+    caller already measured it.
+
+    checkpoint_last=False: the TERMINAL round's apply is returned LAZY (its
+    inputs — the round's marks and the pre-round segments — are both
+    checkpointed, so the lineage stays shallow). A single-consumer caller
+    (the overlay pipeline: the fill stage's shuffle is the only action) then
+    streams the chain explode straight into its shuffle write instead of
+    materializing the post-split set twice. Multi-action callers keep the
+    default.
+
+    The terminal probe also records approx midpoint quantiles of the round's
+    marks on the result (_ioverlay_strip_mx2_edges) — the fill stage reuses
+    them as strip edges instead of running its own sampling job."""
     if not pre_merged:
         segs = merge_segments_df(segs, extra_aggs).localCheckpoint(eager=True)
         bounds = None  # caller bounds described the pre-merge set
@@ -473,14 +544,23 @@ def split_segments_df(
         #  - has_col: no collinear-overlap marks + no round marks means the
         #    apply cannot create coincident sub-segments, so the terminal
         #    round may skip its closing merge shuffle entirely.
+        # 1023 approx quantiles of the marks' x — reused by the fill stage as
+        # strip edges (split points dominate the post-split midpoint
+        # distribution in the crossing-dense regime; strip edges only steer
+        # balance, ANY values are correct)
+        fracs = ", ".join(str(i / 1024) for i in range(1, 1024))
         probe = marks.agg(
             F.count("*").alias("n"),
             F.max("is_round").alias("any_round"),
             F.max("col_ovl").alias("any_col"),
+            F.expr(f"percentile_approx(px, array({fracs}), 100)").alias("pq"),
         ).first()
         if probe["n"] == 0:
             n_hint = last_n  # exact: nothing was applied this round
             break
+        strip_edges = (
+            sorted(set(2 * int(q) for q in probe["pq"])) if probe["pq"] else None
+        )
         need_fix = bool(probe["any_round"])
         has_col = bool(probe["any_col"])
         n_marks = int(probe["n"])
@@ -494,26 +574,32 @@ def split_segments_df(
             if n_marks >= 250_000 and bounds[0] <= n_marks // 4
             else None
         )
+        # packed-long chains need every coordinate (incl. snap-rounded marks,
+        # which stay within the bbox ±1) under the 2^30 cap
+        cmax_round = max(abs(bounds[1]), abs(bounds[2]), abs(bounds[3]), abs(bounds[4]))
         segs = apply_marks_df(
             segs,
             marks,
             extra_aggs,
             skip_final_merge=not need_fix and not has_col,
             explode_partitions=explode_parts,
+            packed=cmax_round < (1 << 30) - 2,
         )
+        terminal = not need_fix
         if checkpoint_dir is not None:
             path = f"{checkpoint_dir}/split_r{rnd}"
             segs.write.mode("overwrite").parquet(path)
             segs = segs.sparkSession.read.parquet(path)
-        else:
+        elif not (terminal and not checkpoint_last):
             segs = segs.localCheckpoint(eager=True)
         last_n = None  # marks were applied after the count; stale
         bounds = None
-        if not need_fix:
+        if terminal:
             # terminal round: each mark row adds at most one sub-segment to one
             # parent, so pre-count + mark rows bounds the output — close enough
             # for the fills stage's strip sizing without a count job
             n_hint = pre_count + n_marks
+            segs._ioverlay_strip_mx2_edges = strip_edges
             break
     if n_hint is None:
         n_hint = last_n
@@ -551,48 +637,78 @@ _FILL_ARROW_SCHEMA = pa.schema(
 )
 
 
-def _strip_fill_kernel(fill_rule: FillRule, boundary_rule: OverlayRule | None = None):
+def _strip_fill_iter(fill_rule: FillRule, boundary_rule: OverlayRule | None = None):
+    """Partition-level strip fill (mapInArrow): the partition holds whole
+    strips (repartition on the strip key); the python side sorts by strip ONCE
+    (numpy, vectorized) and runs the windowed fill kernel per contiguous strip
+    slice. Replaces a grouped-map applyInPandas — the grouped-map plan sorts
+    every partition JVM-side and pays per-group Arrow overhead; here the rows
+    cross into python once per PARTITION.
+
+    Per strip: windings of home segments against ALL segments crossing the
+    strip (compute fills on the union, keep rows for home segments only).
+    allow_sweep=False — a strip group is a SUBSET of the global segment set,
+    and only the ray-at-midpoint fill formulations are subset-safe.
+
+    boundary_rule: extraction's boundary filter pushed into the kernel — the
+    stage ships only result-boundary rows (extract takes pre_filtered=True)."""
     from ..kernel.extract import boundary_mask
     from ..kernel.fill import compute_fills_windowed
     from ..kernel.segments import Segments
 
-    def run(tbl: pa.Table) -> pa.Table:
+    def it(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        if not len(tbl):
+            return
+
         def col(name, dtype=np.int64):
             return tbl.column(name).to_numpy(zero_copy_only=False).astype(
                 dtype, copy=False
             )
 
-        is_home = col("is_home", bool)
-        if not is_home.any():
-            return _FILL_ARROW_SCHEMA.empty_table()
-        # windings of home segments against ALL segments crossing the strip:
-        # compute fills on the union, then keep rows for home segments only.
-        ax, ay, bx, by = col("ax"), col("ay"), col("bx"), col("by")
-        subj, clip = col("subj"), col("clip")
-        segs = Segments(ax, ay, bx, by, subj, clip)
-        # allow_sweep=False: the group is a strip SUBSET of the global segment
-        # set — only the ray-at-midpoint formulations are subset-safe
-        fills = compute_fills_windowed(segs, fill_rule, allow_sweep=False)
-        mask = is_home
-        if boundary_rule is not None:
-            # boundary pushdown: drop non-boundary segments for the overlay
-            # rule INSIDE the fill kernel — extraction's filter runs map-side
-            # here, so the fills stage ships only result-boundary rows
-            mask = mask & boundary_mask(fills.astype(np.uint8), boundary_rule)
-        return pa.Table.from_arrays(
-            [
-                pa.array(ax[mask]),
-                pa.array(ay[mask]),
-                pa.array(bx[mask]),
-                pa.array(by[mask]),
-                pa.array(subj[mask]),
-                pa.array(clip[mask]),
-                pa.array(fills[mask].astype(np.int32)),
-            ],
-            schema=_FILL_ARROW_SCHEMA,
-        )
+        strip = col("strip", np.int64)
+        order = np.argsort(strip, kind="stable")
+        ax = col("ax")[order]
+        ay = col("ay")[order]
+        bx = col("bx")[order]
+        by = col("by")[order]
+        subj = col("subj")[order]
+        clip = col("clip")[order]
+        is_home = col("is_home", bool)[order]
+        s = strip[order]
+        starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+        bounds = np.append(starts, len(s))
+        outs = []
+        for i in range(len(starts)):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            home = is_home[lo:hi]
+            if not home.any():
+                continue
+            segs = Segments(
+                ax[lo:hi], ay[lo:hi], bx[lo:hi], by[lo:hi], subj[lo:hi], clip[lo:hi]
+            )
+            fills = compute_fills_windowed(segs, fill_rule, allow_sweep=False)
+            mask = home
+            if boundary_rule is not None:
+                mask = mask & boundary_mask(fills.astype(np.uint8), boundary_rule)
+            outs.append(
+                (
+                    ax[lo:hi][mask], ay[lo:hi][mask], bx[lo:hi][mask], by[lo:hi][mask],
+                    subj[lo:hi][mask], clip[lo:hi][mask],
+                    fills[mask].astype(np.int32),
+                )
+            )
+        if not outs:
+            return
+        cols = [np.concatenate([o[k] for o in outs]) for k in range(7)]
+        yield from pa.Table.from_arrays(
+            [pa.array(c) for c in cols], schema=_FILL_ARROW_SCHEMA
+        ).to_batches()
 
-    return run
+    return it
 
 
 def compute_fills_df(
@@ -621,7 +737,17 @@ def compute_fills_df(
         # strip kernels are O(n_strip * m_strip): finer strips cut the quadratic
         # term; per-strip constants are negligible beyond ~2k segments
         n_strips = max(1, min(1024, n // 2000))
-    if n_strips > 1:
+    hint_edges = getattr(segs, "_ioverlay_strip_mx2_edges", None)
+    if n_strips > 1 and hint_edges:
+        # edges precomputed by the split fixpoint's probe (mark-x quantiles,
+        # doubled) — zero extra jobs; downsample evenly to the strip budget
+        k = len(hint_edges)
+        if k > n_strips - 1:
+            idx = np.linspace(0, k - 1, n_strips - 1).round().astype(int)
+            edges = sorted(set(hint_edges[int(i)] for i in idx))
+        else:
+            edges = list(hint_edges)
+    elif n_strips > 1:
         # strip edges from SAMPLED midpoint quantiles (doubled-coordinate
         # midpoints). Strip edges only steer load balance — fill values are
         # exact for ANY strip boundaries (each segment is still evaluated
@@ -682,9 +808,12 @@ def compute_fills_df(
         .withColumn("is_home", F.col("strip") == F.col("s_mid"))
         .select("ax", "ay", "bx", "by", "subj", "clip", "strip", "is_home")
     )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
-        with_strips.groupBy("strip")  # hash-shuffles on strip; no extra repartition
-        .applyInArrow(_strip_fill_kernel(fill_rule, boundary_rule), schema=FILL_SCHEMA)
+        # ONE hash shuffle on the strip key; strips are grouped python-side
+        # inside the partition (see _strip_fill_iter)
+        with_strips.repartition(n_part, "strip")
+        .mapInArrow(_strip_fill_iter(fill_rule, boundary_rule), schema=FILL_SCHEMA)
     )
 
 
@@ -802,7 +931,13 @@ def distributed_overlay(
                 )
             )
     split = split_segments_df(
-        merged, checkpoint_dir=checkpoint_dir, pre_merged=True, bounds=bounds
+        merged,
+        checkpoint_dir=checkpoint_dir,
+        pre_merged=True,
+        bounds=bounds,
+        # the fill stage's shuffle is the sole consumer of the terminal apply:
+        # stream the chain explode straight into the shuffle write
+        checkpoint_last=False,
     )
     fills = compute_fills_df(split, fill_rule, boundary_rule=rule)
     # splitting never leaves the input bbox, so the merge-stage bounds cap the

@@ -718,11 +718,20 @@ def extract_shapes_df(
         # small boundary set: ONE task does CC + walk fused (node ids, labels
         # and the vectorized component walk all in-kernel) — the boundary rows
         # move through exactly one shuffle, no comp-map broadcast or salt
-        # re-shuffle. Differential-tested equal to the distributed path.
+        # re-shuffle. repartition(1) + mapInArrow instead of a constant-key
+        # grouped map: the grouped-map plan SORTS the partition by its key
+        # before grouping (measured ~6 s vs ~1 s for a 1 M-row noop).
+        # Differential-tested equal to the distributed path.
+        kern = _fused_extract_kernel(rule, options)
+
+        def it(batches):
+            chunks = list(batches)
+            if chunks:
+                yield from kern(pa.Table.from_batches(chunks)).to_batches()
+
         rings = (
-            b.withColumn("_g", F.lit(0))
-            .groupBy("_g")
-            .applyInArrow(_fused_extract_kernel(rule, options), schema=RINGS_SCHEMA)
+            b.repartition(1)
+            .mapInArrow(it, schema=RINGS_SCHEMA)
             .localCheckpoint(eager=True)
         )
         return _bind_and_project(rings)
