@@ -104,7 +104,26 @@ _MARKS_ARROW_SCHEMA = pa.schema(
 )
 
 
-def _find_marks_kernel(tbl: pa.Table) -> pa.Table:
+_MARKS_PACKED_ARROW_SCHEMA = pa.schema(
+    [
+        ("_sid", pa.int64()),
+        ("k", pa.int64()),
+        ("is_round", pa.bool_()),
+        ("col_ovl", pa.bool_()),
+    ]
+)
+
+MARKS_PACKED_SCHEMA = StructType(
+    [
+        StructField("_sid", LongType()),
+        StructField("k", LongType()),
+        StructField("is_round", BooleanType()),
+        StructField("col_ovl", BooleanType()),
+    ]
+)
+
+
+def _find_marks_kernel(tbl: pa.Table, packed: bool = False) -> pa.Table:
     """Per-cell exact pairwise crossing detection (A6/A7): vectorized candidate
     window + orientation-sign prefilter (kernel/batch.interacting_mask, incl. the
     collinear-overlap refinement that keeps same-line chains from flooding the
@@ -115,8 +134,13 @@ def _find_marks_kernel(tbl: pa.Table) -> pa.Table:
     cell near the hot threshold materializes at most ~_PAIR_BLOCK-row index
     arrays at a time instead of one O(total-pairs) allocation. Coordinates at or
     beyond the int64-product cap (2^30) take the scalar python-int solver.
-    Emits split marks keyed by segment coordinates (Arrow-native: zero-copy in,
-    flat numpy columns out — the mark set is the round's largest dataset)."""
+
+    packed=False emits marks keyed by segment coordinates (8 columns).
+    packed=True (callers that guarantee in-cap coordinates AND ship a stable
+    `_sid` per segment) emits 4 columns: (_sid, k) where k is the packed
+    along-segment chain key apply_marks_df sorts by — the mark set is the
+    round's largest dataset, and halving its width halves the checkpoint,
+    shuffle and agg bytes. Arrow-native either way."""
     from ..kernel.batch import _COORD_CAP, interacting_mask
     from ..kernel.cross_vec import cross_pairs_batch
 
@@ -126,12 +150,15 @@ def _find_marks_kernel(tbl: pa.Table) -> pa.Table:
         )
 
     ax, ay, bx, by = col("ax"), col("ay"), col("bx"), col("by")
+    sid = col("_sid") if packed else None
     n = len(ax)
     rows = []  # scalar-path rows (wide coords only)
     outs = []  # vectorized-path column blocks
     if n >= 2:
         order = np.lexsort((by, bx, ay, ax))
         ax, ay, bx, by = ax[order], ay[order], bx[order], by[order]
+        if packed:
+            sid = sid[order]
         ymin = np.minimum(ay, by)
         ymax = np.maximum(ay, by)
         his = np.searchsorted(ax, bx, side="right")
@@ -176,7 +203,9 @@ def _find_marks_kernel(tbl: pa.Table) -> pa.Table:
                 continue
             if scalar:
                 # wide-coordinate fallback: conservatively flag every mark as
-                # collinear-capable (the merge always runs)
+                # collinear-capable (the merge always runs). Unreachable in
+                # packed mode — callers choose packed only under the global
+                # coordinate cap, which bounds every cell.
                 for i, jj in zip(i_rep.tolist(), j.tolist()):
                     ti = (int(ax[i]), int(ay[i]), int(bx[i]), int(by[i]))
                     tj = (int(ax[jj]), int(ay[jj]), int(bx[jj]), int(by[jj]))
@@ -191,7 +220,30 @@ def _find_marks_kernel(tbl: pa.Table) -> pa.Table:
                 )
                 if len(pid):
                     si = np.where(which == 0, i_rep[pid], j[pid])
-                    outs.append((ax[si], ay[si], bx[si], by[si], mx, my, rnd, coll[pid]))
+                    if packed:
+                        # the packed along-segment chain key (see
+                        # apply_marks_df): (px, py-toward-b) lex order
+                        C = 1 << 30
+                        ypos = by[si] >= ay[si]
+                        k = (mx + C) * (1 << 31) + (np.where(ypos, my, -my) + C)
+                        outs.append((sid[si], k, rnd, coll[pid]))
+                    else:
+                        outs.append(
+                            (ax[si], ay[si], bx[si], by[si], mx, my, rnd, coll[pid])
+                        )
+    if packed:
+        if not outs:
+            return _MARKS_PACKED_ARROW_SCHEMA.empty_table()
+        cols = [np.concatenate([np.asarray(o[k]) for o in outs]) for k in range(4)]
+        return pa.Table.from_arrays(
+            [
+                pa.array(cols[0].astype(np.int64, copy=False)),
+                pa.array(cols[1].astype(np.int64, copy=False)),
+                pa.array(cols[2].astype(bool, copy=False)),
+                pa.array(cols[3].astype(bool, copy=False)),
+            ],
+            schema=_MARKS_PACKED_ARROW_SCHEMA,
+        )
     if rows:
         # wide-coordinate scalar rows -> numpy blocks appended to the outs list
         rc = list(zip(*rows))
@@ -314,6 +366,7 @@ def split_round(
     hot_threshold: int = 20000,
     bounds: tuple[int, int, int, int, int] | None = None,
     dedup: bool = True,
+    packed: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """One split round: returns (marks_df, stats). Hot cells are salted to a 4x4
     finer sub-grid via salted_cover (only hot-cell segments re-explode).
@@ -321,16 +374,22 @@ def split_round(
     dedup=False skips the dropDuplicates shuffle — apply_marks_df's collect_set
     dedupes per segment anyway, so the fixpoint passes False and saves one full
     shuffle of the mark set per round (duplicates exist only for pairs spanning
-    cell borders, a thin sliver of the cover)."""
+    cell borders, a thin sliver of the cover).
+
+    packed=True requires `segs` to carry a stable `_sid` column and every
+    coordinate under the 2^30 cap; marks come back as (_sid, k) — half the
+    bytes of the coordinate-keyed schema (see _find_marks_kernel)."""
     cover, loads = salted_cover(segs, cells_per_axis, hot_threshold, bounds)
     marks = cover.groupBy("cx", "cy", "sx", "sy").applyInArrow(
         # groupBy hash-shuffles on the key; an explicit repartition first would
         # add a second full shuffle
-        lambda tbl: _find_marks_kernel(tbl),
-        schema=MARKS_SCHEMA,
+        lambda tbl: _find_marks_kernel(tbl, packed=packed),
+        schema=MARKS_PACKED_SCHEMA if packed else MARKS_SCHEMA,
     )
     if dedup:
-        marks = marks.dropDuplicates(["ax", "ay", "bx", "by", "px", "py"])
+        marks = marks.dropDuplicates(
+            ["_sid", "k"] if packed else ["ax", "ay", "bx", "by", "px", "py"]
+        )
     return marks, loads
 
 
@@ -372,16 +431,23 @@ def apply_marks_df(
     the struct formulation."""
     C = 1 << 30
     TC = 1 << 31
-    if packed:
+    sid_marks = packed and "_sid" in marks.columns
+    if sid_marks:
+        # kernel already emitted the packed chain key, keyed by the caller's
+        # stable segment id: group + join on ONE long
+        grouped = marks.groupBy("_sid").agg(F.collect_set("k").alias("mks"))
+        j = segs.join(grouped, "_sid", "left").drop("_sid")
+    elif packed:
         key = f"(px + {C}) * {TC} + (CASE WHEN by >= ay THEN py ELSE -py END + {C})"
         grouped = marks.groupBy("ax", "ay", "bx", "by").agg(
             F.expr(f"collect_set({key})").alias("mks")
         )
+        j = segs.join(grouped, ["ax", "ay", "bx", "by"], "left")
     else:
         grouped = marks.groupBy("ax", "ay", "bx", "by").agg(
             F.collect_set(F.struct("px", "py")).alias("mks")
         )
-    j = segs.join(grouped, ["ax", "ay", "bx", "by"], "left")
+        j = segs.join(grouped, ["ax", "ay", "bx", "by"], "left")
     if explode_partitions:
         j = j.repartition(explode_partitions)
 
@@ -532,7 +598,19 @@ def split_segments_df(
         # exact solver; extra cover rows are cheap, idle cells cost nothing
         floor = 8 if bounds[0] >= 64 else 1
         cells_per_axis = max(floor, int((bounds[0] / max(target_per_cell, 1)) ** 0.5))
-        marks, _ = split_round(segs, cells_per_axis, bounds=bounds, dedup=False)
+        # packed marks/chains need every coordinate (incl. snap-rounded marks,
+        # which stay within the bbox ±1) under the 2^30 cap; _sid gives the
+        # kernel a 1-long segment key (deterministic: segs is checkpointed)
+        cmax_round = max(abs(bounds[1]), abs(bounds[2]), abs(bounds[3]), abs(bounds[4]))
+        packed_round = cmax_round < (1 << 30) - 2
+        segs_round = (
+            segs.withColumn("_sid", F.monotonically_increasing_id())
+            if packed_round
+            else segs
+        )
+        marks, _ = split_round(
+            segs_round, cells_per_axis, bounds=bounds, dedup=False, packed=packed_round
+        )
         marks = marks.localCheckpoint(eager=True)
         # ONE probe job for emptiness + the two termination flags (was three
         # separate actions per round):
@@ -549,11 +627,12 @@ def split_segments_df(
         # distribution in the crossing-dense regime; strip edges only steer
         # balance, ANY values are correct)
         fracs = ", ".join(str(i / 1024) for i in range(1, 1024))
+        px_expr = f"k DIV {1 << 31} - {1 << 30}" if packed_round else "px"
         probe = marks.agg(
             F.count("*").alias("n"),
             F.max("is_round").alias("any_round"),
             F.max("col_ovl").alias("any_col"),
-            F.expr(f"percentile_approx(px, array({fracs}), 100)").alias("pq"),
+            F.expr(f"percentile_approx({px_expr}, array({fracs}), 100)").alias("pq"),
         ).first()
         if probe["n"] == 0:
             n_hint = last_n  # exact: nothing was applied this round
@@ -574,16 +653,13 @@ def split_segments_df(
             if n_marks >= 250_000 and bounds[0] <= n_marks // 4
             else None
         )
-        # packed-long chains need every coordinate (incl. snap-rounded marks,
-        # which stay within the bbox ±1) under the 2^30 cap
-        cmax_round = max(abs(bounds[1]), abs(bounds[2]), abs(bounds[3]), abs(bounds[4]))
         segs = apply_marks_df(
-            segs,
+            segs_round,
             marks,
             extra_aggs,
             skip_final_merge=not need_fix and not has_col,
             explode_partitions=explode_parts,
-            packed=cmax_round < (1 << 30) - 2,
+            packed=packed_round,
         )
         terminal = not need_fix
         if checkpoint_dir is not None:
