@@ -1,7 +1,8 @@
 """Fine-grained stage profiler for the lines_net distributed overlay.
 
-Mirrors distributed_overlay's exact barrier structure (boundary pushdown,
-fused extract dispatch, cmax hint) but times every Spark action separately.
+Mirrors distributed_overlay's CURRENT barrier structure: merge ckpt, bounds,
+marks ckpt + probe (inside split_segments_df), then the fused
+apply->strips->fill job (b ckpt), count, fused CC+walk (rings ckpt), bind.
 """
 import sys, time
 import os
@@ -23,9 +24,9 @@ from ioverlay_spark.operators.distributed import (
     contours_to_segments_df, merge_segments_df, split_segments_df,
     compute_fills_df, _count_and_bounds)
 from ioverlay_spark.operators.distributed_extract import (
-    _fused_extract_kernel, _bind_and_project, RINGS_SCHEMA, _FUSED_EXTRACT_CAP,
-    extract_shapes_df)
+    _fused_extract_kernel, _bind_and_project, RINGS_SCHEMA)
 from ioverlay_spark.session import ship_package
+import pyarrow as pa
 ship_package(spark)
 
 subj, clip = lines_net(n, 20)
@@ -43,32 +44,22 @@ t0 = tick("merge+ckpt", t0)
 bounds = _count_and_bounds(merged)
 t0 = tick(f"count_and_bounds n={bounds[0]}", t0)
 
-# inlined single-round split (mirrors split_segments_df) for sub-stage timing
-from ioverlay_spark.operators.distributed import split_round, apply_marks_df
-floor = 8 if bounds[0] >= 64 else 1
-cells_per_axis = max(floor, int((bounds[0] / 2000) ** 0.5))
-marks, _ = split_round(merged, cells_per_axis, bounds=bounds, dedup=False)
-marks = marks.localCheckpoint(eager=True)
-t0 = tick("  split: marks kernel+ckpt", t0)
-probe = marks.agg(F.count("*").alias("n"), F.max("is_round").alias("any_round"),
-                  F.max("col_ovl").alias("any_col")).first()
-t0 = tick(f"  split: probe n={probe['n']}", t0)
-split = apply_marks_df(merged, marks,
-                       skip_final_merge=not bool(probe["any_round"]) and not bool(probe["any_col"]),
-                       explode_partitions=64, packed=True).localCheckpoint(eager=True)
-t0 = tick("  split: apply+ckpt (64-way, packed)", t0)
-split._ioverlay_n_segments = bounds[0] + int(probe["n"])
+split = split_segments_df(merged, pre_merged=True, bounds=bounds, checkpoint_last=False)
+t0 = tick(f"split marks+probe (lazy apply; hint={getattr(split, '_ioverlay_n_segments', None)})", t0)
 
 fills = compute_fills_df(split, FillRule.EVEN_ODD, boundary_rule=OverlayRule.INTERSECT)
-t0 = tick("fills plan (sampled quantile job inside)", t0)
+t0 = tick("fills plan build (no job expected)", t0)
 
 b = fills.localCheckpoint(eager=True)
-t0 = tick("strip-fill job (b ckpt)", t0)
+t0 = tick("FUSED apply+strips+fill job (b ckpt)", t0)
 n_edges = b.count()
-t0 = tick(f"count n_edges={n_edges} (fused={n_edges <= _FUSED_EXTRACT_CAP})", t0)
-rings = (b.withColumn("_g", F.lit(0)).groupBy("_g")
-         .applyInArrow(_fused_extract_kernel(OverlayRule.INTERSECT, OverlayOptions()), schema=RINGS_SCHEMA)
-         .localCheckpoint(eager=True))
+t0 = tick(f"count n_edges={n_edges}", t0)
+kern = _fused_extract_kernel(OverlayRule.INTERSECT, OverlayOptions())
+def it(batches):
+    chunks = list(batches)
+    if chunks:
+        yield from kern(pa.Table.from_batches(chunks)).to_batches()
+rings = b.repartition(1).mapInArrow(it, schema=RINGS_SCHEMA).localCheckpoint(eager=True)
 t0 = tick("fused CC+walk (rings ckpt)", t0)
 out = _bind_and_project(rings)
 t0 = tick("bind+project (isEmpty inside)", t0)

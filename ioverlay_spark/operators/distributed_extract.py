@@ -674,7 +674,10 @@ def bind_holes_df(hulls: DataFrame, holes: DataFrame, n_bands: int = 256) -> Dat
     )
 
 
-_FUSED_EXTRACT_CAP = int(os.environ.get("SPARK_GRAFT_FUSED_EXTRACT_EDGES", "2000000"))
+# one fused task at 8M edges holds ~500MB of working arrays (input columns +
+# node ids + labels + ring buffers) — comfortably inside one executor; beyond
+# it the broadcast-CC (<=4M comp map) and iterative-CC plans take over
+_FUSED_EXTRACT_CAP = int(os.environ.get("SPARK_GRAFT_FUSED_EXTRACT_EDGES", "8000000"))
 
 
 def extract_shapes_df(
