@@ -17,6 +17,8 @@ the same formula the distributed x-strip pipeline uses (SURVEY.md A10).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..options import FillRule
@@ -251,7 +253,25 @@ def _windings_sweep(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
     return np.array(wind_s, dtype=np.int64), np.array(wind_c, dtype=np.int64)
 
 
-def _windings_segtree(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
+def _resolve_fill_threads(threads: int | None, n_pairs: int) -> int:
+    """Thread count for the segtree's bisection loop. None = auto: engage only
+    for large jobs (the loop is gather-LATENCY-bound and numpy releases the
+    GIL, so threads scale ~6-9x on it — measured; small jobs would pay pool
+    overhead). Callers running inside an already-parallel executor (the
+    distributed strip fill) pass threads=1 explicitly."""
+    if threads is not None and threads > 0:
+        return threads
+    env = int(os.environ.get("SPARK_GRAFT_FILL_THREADS", "0"))
+    if env > 0:
+        return env
+    if n_pairs < 1_500_000:
+        return 1
+    return min(8, os.cpu_count() or 1)
+
+
+def _windings_segtree(
+    segs: Segments, threads: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized O((n+q) log^2 n) midpoint-ray windings via a segment tree over
     x-intervals (the numpy replacement for the per-event python loop in
     _windings_sweep, VERDICT r03 #2).
@@ -333,17 +353,37 @@ def _windings_segtree(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
     edy = (tby - tay)[sid]
     NUM = 4 * tay[sid] * edt + edy * (m_num - 4 * tax[sid])
     DEN = 2 * edt
-    # single composite float64 sort key (node + y normalized to [0,1)) is ~5x
-    # a 2-key lexsort; node grouping is verified exactly below (float rounding
-    # near 1.0 could spill an entry into the next node) with lexsort fallback,
-    # and within-node order is exact-verified/repaired either way
+    # (node, y) sort. Fast path: pack node | y-fraction | index into ONE uint64
+    # and np.sort it — a direct sort of packed keys is ~7x an indirect float
+    # argsort (measured). Node bits lead, so node grouping is exact by
+    # construction; y ties inside the fraction's resolution land in arbitrary
+    # order and are repaired by the exact adjacent verification below (which
+    # runs either way). Falls back to the composite-float argsort when the bit
+    # budget doesn't fit (huge node ids or pair counts).
     yf = NUM / DEN
     ylo = float(yf.min())
     yspan = float(yf.max()) - ylo
     frac = (yf - ylo) / (yspan * (1.0 + 1e-6) + 1e-300)
-    order = np.argsort(node + frac, kind="stable")
-    if not np.all(np.diff(node[order]) >= 0):
-        order = np.lexsort((yf, node))
+    M = len(node)
+    bits_node = int(2 * nP).bit_length()
+    bits_idx = max(M - 1, 1).bit_length()
+    bits_frac = 64 - bits_node - bits_idx
+    if bits_frac >= 12:
+        fscale = float(1 << bits_frac)
+        fint = np.minimum(
+            (frac * fscale).astype(np.uint64), np.uint64((1 << bits_frac) - 1)
+        )
+        key = (
+            (node.astype(np.uint64) << np.uint64(bits_frac + bits_idx))
+            | (fint << np.uint64(bits_idx))
+            | np.arange(M, dtype=np.uint64)
+        )
+        key.sort()
+        order = (key & np.uint64((1 << bits_idx) - 1)).astype(np.int64)
+    else:
+        order = np.argsort(node + frac, kind="stable")
+        if not np.all(np.diff(node[order]) >= 0):
+            order = np.lexsort((yf, node))
     node = node[order]
     sid = sid[order]
     NUM = NUM[order]
@@ -406,13 +446,18 @@ def _windings_segtree(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
 
     # queries: every segment's doubled midpoint; the root-to-leaf path is one
     # broadcast shift matrix (all leaves share the tree depth), filtered to
-    # nonempty nodes, then node-sorted for gather locality
+    # nonempty nodes. Queries are pre-sorted by LEAF (one small argsort), which
+    # makes PV monotone within every level block of the level-major reshape —
+    # the same gather locality the previous global 4M-element node argsort
+    # bought, at 1/10 the cost (nothing downstream needs a global order:
+    # start/cnt lookups are random-access and the accumulate is a bincount).
     Xi = tax + tbx
     Ti = tay + tby
     p = np.searchsorted(B, Xi, side="right") - 1
     qs = np.flatnonzero((p >= 0) & (p < nL))
     if len(qs) == 0:
         return wind_s, wind_c
+    qs = qs[np.argsort(p[qs], kind="stable")]
     levels = int(nP).bit_length()  # leaf v in [nP, 2nP) -> levels shifts to 1
     VS = (p[qs] + nP)[None, :] >> np.arange(levels, dtype=np.int64)[:, None]
     PQ = np.broadcast_to(qs[None, :], VS.shape).reshape(-1)
@@ -422,31 +467,47 @@ def _windings_segtree(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
     PV = PV[nz]
     if len(PQ) == 0:
         return wind_s, wind_c
-    byv = np.argsort(PV, kind="stable")
-    PQ = PQ[byv]
-    PV = PV[byv]
-    plo = start[PV].copy()
-    phi = plo + cnt[PV]
-    Xq = Xi[PQ]
-    Tq = Ti[PQ]
-    act = np.flatnonzero(plo < phi)
-    lo_a = plo[act]
-    hi_a = phi[act]
-    Xa = Xq[act]
-    Ta = Tq[act]
-    while len(act):
-        mid = (lo_a + hi_a) >> 1
-        pred = enum0[mid] + edy[mid] * (Xa - eax2[mid]) < Ta * edt[mid]
-        lo_a[pred] = mid[pred] + 1
-        np.putmask(hi_a, ~pred, mid)
-        live = lo_a < hi_a
-        if not live.all():
-            plo[act] = lo_a
-            act = act[live]
-            lo_a = lo_a[live]
-            hi_a = hi_a[live]
-            Xa = Xa[live]
-            Ta = Ta[live]
+    def _bisect(sl: slice) -> np.ndarray:
+        # vectorized binary search over each query's node-member prefix; the
+        # mid-indexed gathers dominate (latency-bound), so callers may run
+        # several slices on threads — numpy releases the GIL here
+        PVs = PV[sl]
+        plo = start[PVs].copy()
+        phi = plo + cnt[PVs]
+        Xq = Xi[PQ[sl]]
+        Tq = Ti[PQ[sl]]
+        act = np.flatnonzero(plo < phi)
+        lo_a = plo[act]
+        hi_a = phi[act]
+        Xa = Xq[act]
+        Ta = Tq[act]
+        while len(act):
+            mid = (lo_a + hi_a) >> 1
+            pred = enum0[mid] + edy[mid] * (Xa - eax2[mid]) < Ta * edt[mid]
+            lo_a[pred] = mid[pred] + 1
+            np.putmask(hi_a, ~pred, mid)
+            live = lo_a < hi_a
+            if not live.all():
+                plo[act] = lo_a
+                act = act[live]
+                lo_a = lo_a[live]
+                hi_a = hi_a[live]
+                Xa = Xa[live]
+                Ta = Ta[live]
+        return plo
+
+    k = _resolve_fill_threads(threads, len(PQ))
+    if k <= 1:
+        plo = _bisect(slice(0, len(PQ)))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        M = len(PQ)
+        slices = [slice(i * M // k, (i + 1) * M // k) for i in range(k)]
+        plo = np.empty(M, dtype=np.int64)
+        with ThreadPoolExecutor(k) as ex:
+            for sl, part in zip(slices, ex.map(_bisect, slices)):
+                plo[sl] = part
     base = start[PV]
     if has_subj:
         wind_s += np.bincount(PQ, weights=(cs[plo] - cs[base]).astype(np.float64), minlength=n).astype(np.int64)
@@ -455,9 +516,11 @@ def _windings_segtree(segs: Segments) -> tuple[np.ndarray, np.ndarray]:
     return wind_s, wind_c
 
 
-def compute_fills_segtree(segs: Segments, fill_rule: FillRule) -> np.ndarray:
+def compute_fills_segtree(
+    segs: Segments, fill_rule: FillRule, threads: int | None = None
+) -> np.ndarray:
     """Segment-tree fill (see _windings_segtree): vectorized, subset-safe."""
-    wind_s, wind_c = _windings_segtree(segs)
+    wind_s, wind_c = _windings_segtree(segs, threads=threads)
     return _fill_bits(segs, wind_s, wind_c, fill_rule)
 
 
@@ -533,7 +596,10 @@ def _windings_grouped(
 
 
 def compute_fills_windowed(
-    segs: Segments, fill_rule: FillRule, allow_sweep: bool = True
+    segs: Segments,
+    fill_rule: FillRule,
+    allow_sweep: bool = True,
+    threads: int | None = None,
 ) -> np.ndarray:
     """compute_fills with an x-window candidate bound: the downward ray at a
     segment's doubled midpoint Xi only crosses segments t with
@@ -621,7 +687,7 @@ def compute_fills_windowed(
             # lighter ones; at the measured constants (spiral audit: segtree
             # 2.9 s at 393k segs vs windowed 15.2 s at est/n≈156) the
             # break-even sits near est/n ≈ 32.
-            return compute_fills_segtree(segs, fill_rule)
+            return compute_fills_segtree(segs, fill_rule, threads=threads)
         block = 4_000_000
         for idx, lo, counts in classes:
             cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])

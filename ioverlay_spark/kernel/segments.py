@@ -142,6 +142,37 @@ def sort_and_merge(segs: Segments) -> Segments:
     n = len(segs)
     if n == 0:
         return segs
+    # pack (ax,ay) and (bx,by) into one uint64 each when the offset extents fit
+    # 32 bits: the 4-key lexsort becomes a 2-key one (half the radix passes) and
+    # the coincidence test two integer compares instead of a (n,4) row compare
+    x_lo = min(int(segs.ax.min()), int(segs.bx.min()))
+    y_lo = min(int(segs.ay.min()), int(segs.by.min()))
+    x_hi = max(int(segs.ax.max()), int(segs.bx.max()))
+    y_hi = max(int(segs.ay.max()), int(segs.by.max()))
+    if max(x_hi - x_lo, y_hi - y_lo) < (1 << 32):
+        ka = ((segs.ax - x_lo).astype(np.uint64) << np.uint64(32)) | (
+            segs.ay - y_lo
+        ).astype(np.uint64)
+        kb = ((segs.bx - x_lo).astype(np.uint64) << np.uint64(32)) | (
+            segs.by - y_lo
+        ).astype(np.uint64)
+        order = np.lexsort((kb, ka))
+        s = segs.take(order)
+        ka = ka[order]
+        kb = kb[order]
+        new_group = np.empty(n, dtype=bool)
+        new_group[0] = True
+        new_group[1:] = (ka[1:] != ka[:-1]) | (kb[1:] != kb[:-1])
+        gid = np.cumsum(new_group) - 1
+        ngroups = gid[-1] + 1
+        subj = np.bincount(gid, weights=s.subj, minlength=ngroups).astype(np.int64)
+        clip = np.bincount(gid, weights=s.clip, minlength=ngroups).astype(np.int64)
+        first = np.flatnonzero(new_group)
+        keep = (subj != 0) | (clip != 0)
+        idx = first[keep]
+        return Segments(
+            s.ax[idx], s.ay[idx], s.bx[idx], s.by[idx], subj[keep], clip[keep]
+        )
     order = np.lexsort((segs.by, segs.bx, segs.ay, segs.ax))
     s = segs.take(order)
     key = np.stack([s.ax, s.ay, s.bx, s.by], axis=1)

@@ -189,54 +189,83 @@ def _candidate_pairs_grid(
     gx = (ax[rep] >> shift) + k // wy[rep]
     gy = (ymin[rep] >> shift) + k % wy[rep]
     key = (gx - gx.min()) * (int(gy.max() - gy.min()) + 1) + (gy - gy.min())
-    order = np.argsort(key, kind="stable")
+    # cell-id sort: pack key|index into one uint64 and direct-sort when the bit
+    # budget fits (~7x an indirect stable argsort — measured; index in the low
+    # bits keeps it stable, so the output order is identical)
+    bits_idx = max(total - 1, 1).bit_length()
+    if total and int(key.max()).bit_length() + bits_idx <= 64:
+        packed = (key.astype(np.uint64) << np.uint64(bits_idx)) | np.arange(
+            total, dtype=np.uint64
+        )
+        packed.sort()
+        order = (packed & np.uint64((1 << bits_idx) - 1)).astype(np.int64)
+        key = (packed >> np.uint64(bits_idx)).astype(np.int64)
+    else:
+        order = np.argsort(key, kind="stable")
+        key = key[order]
     member = rep[order]
-    key = key[order]
     gx = gx[order]
     gy = gy[order]
     # group boundaries -> within-group "each row pairs with all later rows"
-    starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+    first = np.concatenate([[True], key[1:] != key[:-1]])
+    starts = np.flatnonzero(first)
     bounds = np.concatenate([starts, [total]])
-    grp_of = np.searchsorted(bounds, np.arange(total, dtype=np.int64), side="right") - 1
+    grp_of = np.cumsum(first) - 1  # O(total), replaces a searchsorted per row
     pc = bounds[grp_of + 1] - np.arange(total, dtype=np.int64) - 1
     ptot = int(pc.sum())
     if ptot >= est_x:
         return None
     pcum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(pc)])
-    chunks = []
-    start = 0
-    pair_budget = 8_000_000
-    while start < total:
+    bnds = [0]
+    pair_budget = 2_000_000
+    while bnds[-1] < total:
+        start = bnds[-1]
         stop = int(np.searchsorted(pcum, pcum[start] + pair_budget, side="left"))
-        stop = min(max(stop, start + 1), total)
+        bnds.append(min(max(stop, start + 1), total))
+
+    def _pairs_chunk(se: tuple[int, int]) -> np.ndarray | None:
+        start, stop = se
         cc = pc[start:stop]
         tt = int(cc.sum())
-        if tt:
-            prow = np.repeat(np.arange(start, stop, dtype=np.int64), cc)
-            qrow = np.arange(tt, dtype=np.int64) - (pcum[prow] - pcum[start]) + prow + 1
-            pi = member[prow]
-            pj = member[qrow]
-            # emit-once rule (replaces sort-based dedup): a bbox-overlapping
-            # pair is kept only in the cell containing the min corner of its
-            # bbox INTERSECTION — that corner lies in both bboxes, so exactly
-            # one co-cell of the pair satisfies this; the exact-overlap mask
-            # below drops co-cell pairs whose bboxes do not overlap at all
-            mix = np.maximum(ax[pi], ax[pj]) >> shift
-            miy = np.maximum(ymin[pi], ymin[pj]) >> shift
-            m = (
-                (mix == gx[prow])
-                & (miy == gy[prow])
-                & (ax[pj] <= bx[pi])
-                & (ax[pi] <= bx[pj])
-                & (ymin[pj] <= ymax[pi])
-                & (ymax[pj] >= ymin[pi])
-            )
-            pi, pj = pi[m], pj[m]
-            if len(pi):
-                chunks.append(
-                    np.stack([np.minimum(pi, pj), np.maximum(pi, pj)], axis=1)
-                )
-        start = stop
+        if not tt:
+            return None
+        prow = np.repeat(np.arange(start, stop, dtype=np.int64), cc)
+        qrow = np.arange(tt, dtype=np.int64) - (pcum[prow] - pcum[start]) + prow + 1
+        pi = member[prow]
+        pj = member[qrow]
+        # emit-once rule (replaces sort-based dedup): a bbox-overlapping
+        # pair is kept only in the cell containing the min corner of its
+        # bbox INTERSECTION — that corner lies in both bboxes, so exactly
+        # one co-cell of the pair satisfies this; the exact-overlap mask
+        # below drops co-cell pairs whose bboxes do not overlap at all
+        mix = np.maximum(ax[pi], ax[pj]) >> shift
+        miy = np.maximum(ymin[pi], ymin[pj]) >> shift
+        m = (
+            (mix == gx[prow])
+            & (miy == gy[prow])
+            & (ax[pj] <= bx[pi])
+            & (ax[pi] <= bx[pj])
+            & (ymin[pj] <= ymax[pi])
+            & (ymax[pj] >= ymin[pi])
+        )
+        pi, pj = pi[m], pj[m]
+        if not len(pi):
+            return None
+        return np.stack([np.minimum(pi, pj), np.maximum(pi, pj)], axis=1)
+
+    spans = list(zip(bnds[:-1], bnds[1:]))
+    # the mask work is gather/bandwidth-bound numpy (GIL released): thread the
+    # chunks on the big scalar/one-task jobs, same policy as the segtree fill
+    from .fill import _resolve_fill_threads
+
+    k = min(_resolve_fill_threads(None, ptot), len(spans))
+    if k > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(k) as ex:
+            chunks = [c for c in ex.map(_pairs_chunk, spans) if c is not None]
+    else:
+        chunks = [c for c in map(_pairs_chunk, spans) if c is not None]
     if not chunks:
         return np.empty((0, 2), dtype=np.int64)
     return np.concatenate(chunks, axis=0)

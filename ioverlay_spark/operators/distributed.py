@@ -769,7 +769,12 @@ def _strip_fill_iter(fill_rule: FillRule, boundary_rule: OverlayRule | None = No
             segs = Segments(
                 ax[lo:hi], ay[lo:hi], bx[lo:hi], by[lo:hi], subj[lo:hi], clip[lo:hi]
             )
-            fills = compute_fills_windowed(segs, fill_rule, allow_sweep=False)
+            # threads=1: this kernel already runs on every executor thread in
+            # parallel (one partition per strip group) — nested pools would
+            # oversubscribe the box
+            fills = compute_fills_windowed(
+                segs, fill_rule, allow_sweep=False, threads=1
+            )
             mask = home
             if boundary_rule is not None:
                 mask = mask & boundary_mask(fills.astype(np.uint8), boundary_rule)
