@@ -398,25 +398,52 @@ def _windings_segtree(
         | ((qk[1:] == qk[:-1]) & (rk[:-1] * DEN[1:] > rk[1:] * DEN[:-1]))
     )
     if inv.any():
-        import functools
-
+        # vectorized repair: gather ALL rows of the offending nodes (contiguous
+        # ranges — node is sorted) and lexsort them by (node, qk, rk/DEN). qk
+        # is the exact floor; the float fraction rk/DEN in [0,1) resolves ties
+        # to 2^-52, far past the packed key's resolution that caused the
+        # inversion. Exactness is re-verified below; any residual inversion
+        # (denominator products straddling float precision) falls back to a
+        # python comparison sort per remaining node — not observed in practice.
         bad_nodes = np.unique(node[:-1][inv])
-        for v in bad_nodes.tolist():
-            s = int(np.searchsorted(node, v, side="left"))
-            e = int(np.searchsorted(node, v, side="right"))
+        s_all = np.searchsorted(node, bad_nodes, side="left")
+        e_all = np.searchsorted(node, bad_nodes, side="right")
+        lens = e_all - s_all
+        sub = np.repeat(s_all, lens) + (
+            np.arange(int(lens.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        order_sub = np.lexsort(
+            (rk[sub].astype(np.float64) / DEN[sub], qk[sub], node[sub])
+        )
+        sub_sorted = sub[order_sub]
+        sid[sub] = sid[sub_sorted]
+        qk[sub] = qk[sub_sorted]
+        rk[sub] = rk[sub_sorted]
+        DEN[sub] = DEN[sub_sorted]
+        inv2 = (node[1:] == node[:-1]) & (
+            (qk[1:] < qk[:-1])
+            | ((qk[1:] == qk[:-1]) & (rk[:-1] * DEN[1:] > rk[1:] * DEN[:-1]))
+        )
+        if inv2.any():
+            import functools
 
-            def _less(i, j):
-                if qk[i] != qk[j]:
-                    return -1 if qk[i] < qk[j] else 1
-                lhs = int(rk[i]) * int(DEN[j])
-                rhs = int(rk[j]) * int(DEN[i])
-                return -1 if lhs < rhs else (1 if lhs > rhs else 0)
+            for v in np.unique(node[:-1][inv2]).tolist():
+                s = int(np.searchsorted(node, v, side="left"))
+                e = int(np.searchsorted(node, v, side="right"))
 
-            idx = sorted(range(s, e), key=functools.cmp_to_key(_less))
-            sid[s:e] = sid[idx]
-            qk[s:e] = qk[idx]
-            rk[s:e] = rk[idx]
-            DEN[s:e] = DEN[idx]
+                def _less(i, j):
+                    if qk[i] != qk[j]:
+                        return -1 if qk[i] < qk[j] else 1
+                    lhs = int(rk[i]) * int(DEN[j])
+                    rhs = int(rk[j]) * int(DEN[i])
+                    return -1 if lhs < rhs else (1 if lhs > rhs else 0)
+
+                idx = sorted(range(s, e), key=functools.cmp_to_key(_less))
+                sid[s:e] = sid[idx]
+                qk[s:e] = qk[idx]
+                rk[s:e] = rk[idx]
+                DEN[s:e] = DEN[idx]
 
     # CSR over node-id space; predicate operands as four 1-D arrays (numpy's
     # 1-D integer gather is ~2x a 2-D row gather — measured) with pairs sorted
@@ -459,14 +486,19 @@ def _windings_segtree(
         return wind_s, wind_c
     qs = qs[np.argsort(p[qs], kind="stable")]
     levels = int(nP).bit_length()  # leaf v in [nP, 2nP) -> levels shifts to 1
-    VS = (p[qs] + nP)[None, :] >> np.arange(levels, dtype=np.int64)[:, None]
-    PQ = np.broadcast_to(qs[None, :], VS.shape).reshape(-1)
-    PV = VS.reshape(-1)
-    nz = cnt[PV] > 0
-    PQ = PQ[nz]
-    PV = PV[nz]
-    if len(PQ) == 0:
+    leaf = p[qs] + nP
+    pq_parts: list[np.ndarray] = []
+    pv_parts: list[np.ndarray] = []
+    for lvl in range(levels):  # filter per level: ~half the node visits are
+        v = leaf >> lvl  # empty, and this skips the 2-D broadcast copies
+        m = cnt[v] > 0
+        if m.any():
+            pq_parts.append(qs[m])
+            pv_parts.append(v[m])
+    if not pq_parts:
         return wind_s, wind_c
+    PQ = np.concatenate(pq_parts)
+    PV = np.concatenate(pv_parts)
     def _bisect(sl: slice) -> np.ndarray:
         # vectorized binary search over each query's node-member prefix; the
         # mid-indexed gathers dominate (latency-bound), so callers may run
