@@ -715,6 +715,29 @@ _FILL_ARROW_SCHEMA = pa.schema(
     ]
 )
 
+# boundary-filtered fill output: extraction reads only coordinates + fill
+# bits, so the pushed-down-boundary path drops subj/clip from the kernel's
+# Arrow emit, the checkpoint and every downstream shuffle (2/7 of the bytes)
+FILL_BOUNDARY_SCHEMA = StructType(
+    [
+        StructField("ax", LongType()),
+        StructField("ay", LongType()),
+        StructField("bx", LongType()),
+        StructField("by", LongType()),
+        StructField("fill", IntegerType()),
+    ]
+)
+
+_FILL_BOUNDARY_ARROW_SCHEMA = pa.schema(
+    [
+        ("ax", pa.int64()),
+        ("ay", pa.int64()),
+        ("bx", pa.int64()),
+        ("by", pa.int64()),
+        ("fill", pa.int32()),
+    ]
+)
+
 
 def _strip_fill_iter(fill_rule: FillRule, boundary_rule: OverlayRule | None = None):
     """Partition-level strip fill (mapInArrow): the partition holds whole
@@ -778,18 +801,32 @@ def _strip_fill_iter(fill_rule: FillRule, boundary_rule: OverlayRule | None = No
             mask = home
             if boundary_rule is not None:
                 mask = mask & boundary_mask(fills.astype(np.uint8), boundary_rule)
-            outs.append(
-                (
-                    ax[lo:hi][mask], ay[lo:hi][mask], bx[lo:hi][mask], by[lo:hi][mask],
-                    subj[lo:hi][mask], clip[lo:hi][mask],
-                    fills[mask].astype(np.int32),
+                outs.append(
+                    (
+                        ax[lo:hi][mask], ay[lo:hi][mask],
+                        bx[lo:hi][mask], by[lo:hi][mask],
+                        fills[mask].astype(np.int32),
+                    )
                 )
-            )
+            else:
+                outs.append(
+                    (
+                        ax[lo:hi][mask], ay[lo:hi][mask],
+                        bx[lo:hi][mask], by[lo:hi][mask],
+                        subj[lo:hi][mask], clip[lo:hi][mask],
+                        fills[mask].astype(np.int32),
+                    )
+                )
         if not outs:
             return
-        cols = [np.concatenate([o[k] for o in outs]) for k in range(7)]
+        schema = (
+            _FILL_BOUNDARY_ARROW_SCHEMA
+            if boundary_rule is not None
+            else _FILL_ARROW_SCHEMA
+        )
+        cols = [np.concatenate([o[k] for o in outs]) for k in range(len(outs[0]))]
         yield from pa.Table.from_arrays(
-            [pa.array(c) for c in cols], schema=_FILL_ARROW_SCHEMA
+            [pa.array(c) for c in cols], schema=schema
         ).to_batches()
 
     return it
@@ -897,7 +934,10 @@ def compute_fills_df(
         # ONE hash shuffle on the strip key; strips are grouped python-side
         # inside the partition (see _strip_fill_iter)
         with_strips.repartition(n_part, "strip")
-        .mapInArrow(_strip_fill_iter(fill_rule, boundary_rule), schema=FILL_SCHEMA)
+        .mapInArrow(
+            _strip_fill_iter(fill_rule, boundary_rule),
+            schema=FILL_BOUNDARY_SCHEMA if boundary_rule is not None else FILL_SCHEMA,
+        )
     )
 
 

@@ -272,8 +272,17 @@ def _extract_rings_core(
     byv: np.ndarray,
     fills_arr: np.ndarray,
     salt: int,
+    threads: int = 1,
 ) -> pa.Table:
-    """Shared walk + Arrow emission over (component-labeled) boundary segments."""
+    """Shared walk + Arrow emission over (component-labeled) boundary segments.
+
+    threads > 1 splits the components into contiguous chunks walked on a
+    thread pool — exact: components never share an endpoint, so every
+    per-component computation of the batch walk is unchanged under chunking
+    (ring ids differ only in assignment order, which nothing consumes).
+    Used by the FUSED single-task extract, where one python task owns the
+    whole boundary set while the rest of the executor sits idle; the salted
+    multi-task kernel keeps threads=1."""
     from types import SimpleNamespace
 
     from ..kernel.batch import _fast_contours_batch
@@ -304,19 +313,6 @@ def _extract_rings_core(
         ncomp = len(starts)
         comps = comp_arr[starts]
 
-        # VECTORIZED degree-2 walk over the whole salt group via the batch
-        # kernel's _fast_contours_batch with slot = component: components never
-        # share an endpoint (they are connectivity classes over exact
-        # endpoints), so the "tiles never share points" invariant holds with
-        # zero per-slot offsets. Components it cannot serve (pinch nodes,
-        # rings > cap) take the scalar walk below — bit-identical rings either
-        # way (the batch kernel's differential guarantee).
-        comp_fast, ring_data = _fast_contours_batch(
-            SimpleNamespace(ax=axv, ay=ayv, bx=bxv, by=byv),
-            bmask, fills_arr, bounds, rule, clockwise,
-            np.zeros(ncomp, dtype=np.int64), 0,
-        )
-
         # vectorized length-class blocks accumulate FLAT numpy buffers (ring
         # values concatenated, per-ring lengths alongside) — pa.ListArray is
         # assembled from them at the end without ever materializing python
@@ -338,7 +334,54 @@ def _extract_rings_core(
         out_ax: list = []
         out_ay: list = []
 
-        def emit_scalar_ring(comp, ring, hole):
+        def _chunk_work(c0: int, c1: int) -> tuple:
+            lo_r = int(bounds[c0])
+            hi_r = int(bounds[c1])
+            sl = slice(lo_r, hi_r)
+            c_axv, c_ayv = axv[sl], ayv[sl]
+            c_bxv, c_byv = bxv[sl], byv[sl]
+            c_fills = fills_arr[sl]
+            c_bmask = bmask[sl]
+            c_bounds = bounds[c0 : c1 + 1] - lo_r
+            c_comps = comps[c0:c1]
+            # VECTORIZED degree-2 walk over the chunk via the batch kernel's
+            # _fast_contours_batch with slot = component: components never
+            # share an endpoint (they are connectivity classes over exact
+            # endpoints), so the "tiles never share points" invariant holds
+            # with zero per-slot offsets. Components it cannot serve (pinch
+            # nodes, rings > cap) take the scalar walk below — bit-identical
+            # rings either way (the batch kernel's differential guarantee).
+            comp_fast, ring_data = _fast_contours_batch(
+                SimpleNamespace(ax=c_axv, ay=c_ayv, bx=c_bxv, by=c_byv),
+                c_bmask, c_fills, c_bounds, rule, clockwise,
+                np.zeros(c1 - c0, dtype=np.int64), 0,
+            )
+            return _chunk_blocks(
+                comp_fast, ring_data, c_comps, c_bounds,
+                c_axv, c_ayv, c_bxv, c_byv, c_fills, c_bmask,
+            )
+
+        def _chunk_blocks(
+            comp_fast, ring_data, comps, bounds,
+            axv, ayv, bxv, byv, fills_arr, bmask,
+        ):
+          blk_comp: list = []
+          blk_hole: list = []
+          blk_a2: list = []
+          blk_ax: list = []
+          blk_ay: list = []
+          blk_x: list = []
+          blk_y: list = []
+          blk_len: list = []
+          out_comp: list = []
+          out_hole: list = []
+          out_ptsx: list = []
+          out_ptsy: list = []
+          out_a2: list = []
+          out_ax: list = []
+          out_ay: list = []
+
+          def emit_scalar_ring(comp, ring, hole):
             if simplify:
                 ring = simplify_ring(list(ring))
             if len(ring) < 3:
@@ -355,7 +398,7 @@ def _extract_rings_core(
             out_ax.append(ring[k][0])
             out_ay.append(ring[k][1])
 
-        if ring_data is not None:
+          if ring_data is not None:
             # vectorized validate per ring-length block (the _finalize_fast
             # shape, emitting raw rings + anchors instead of bound shapes)
             r_slot = ring_data["slot"]
@@ -422,8 +465,8 @@ def _extract_rings_core(
                         bool(r_hole[sel[t]]),
                     )
 
-        slow = np.flatnonzero(~comp_fast)
-        if len(slow):
+          slow = np.flatnonzero(~comp_fast)
+          if len(slow):
             all_pa = list(zip(axv.tolist(), ayv.tolist()))
             all_pb = list(zip(bxv.tolist(), byv.tolist()))
             all_fl = fills_arr.tolist()
@@ -435,6 +478,49 @@ def _extract_rings_core(
                 contours = walk_contours(None, None, rule, clockwise, bmask[lo:hi], g)
                 for ring, hole in contours:
                     emit_scalar_ring(comp, ring, hole)
+
+          return (
+              blk_comp, blk_hole, blk_a2, blk_ax, blk_ay, blk_x, blk_y,
+              blk_len, out_comp, out_hole, out_ptsx, out_ptsy, out_a2,
+              out_ax, out_ay,
+          )
+
+        k = max(1, min(int(threads), ncomp))
+        if k <= 1 or len(comp_arr) < 200_000:
+            results = [_chunk_work(0, ncomp)]
+        else:
+            # equal-ROW chunk boundaries snapped to component starts
+            cuts = np.searchsorted(
+                bounds, np.linspace(0, len(comp_arr), k + 1).astype(np.int64)
+            )
+            cuts = np.unique(np.clip(cuts, 0, ncomp))
+            if cuts[0] != 0:
+                cuts = np.concatenate([[0], cuts])
+            if cuts[-1] != ncomp:
+                cuts = np.concatenate([cuts, [ncomp]])
+            spans = list(zip(cuts[:-1].tolist(), cuts[1:].tolist()))
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(len(spans)) as ex:
+                results = list(ex.map(lambda se: _chunk_work(*se), spans))
+        for res in results:
+            (c_bc, c_bh, c_ba, c_bax, c_bay, c_bx, c_by, c_bl,
+             c_oc, c_oh, c_ox, c_oy, c_oa, c_oax, c_oay) = res
+            blk_comp.extend(c_bc)
+            blk_hole.extend(c_bh)
+            blk_a2.extend(c_ba)
+            blk_ax.extend(c_bax)
+            blk_ay.extend(c_bay)
+            blk_x.extend(c_bx)
+            blk_y.extend(c_by)
+            blk_len.extend(c_bl)
+            out_comp.extend(c_oc)
+            out_hole.extend(c_oh)
+            out_ptsx.extend(c_ox)
+            out_ptsy.extend(c_oy)
+            out_a2.extend(c_oa)
+            out_ax.extend(c_oax)
+            out_ay.extend(c_oay)
 
         # --- Arrow assembly from flat buffers ---
         def cat(chunks, dtype):
@@ -530,8 +616,14 @@ def _fused_extract_kernel(rule: OverlayRule, options: OverlayOptions):
             u, v = inv[: len(ax)].astype(np.int64), inv[len(ax):].astype(np.int64)
         nodes, parent = _cc_label_arrays(u, v)
         comp_of_u = nodes[parent[np.searchsorted(nodes, u)]]
+        # this kernel owns the ONE task of its stage (repartition(1)) — the
+        # rest of the executor is idle, so the component walk threads out
+        threads = int(
+            os.environ.get("SPARK_GRAFT_EXTRACT_THREADS", "0")
+        ) or min(8, os.cpu_count() or 1)
         return _extract_rings_core(
-            rule, options, comp_of_u, ax, ay, bx, by, fills_arr, 0
+            rule, options, comp_of_u, ax, ay, bx, by, fills_arr, 0,
+            threads=threads,
         )
 
     return run
@@ -698,8 +790,12 @@ def extract_shapes_df(
     cmax_hint: an UPPER BOUND on |coordinates| when the caller knows one (the
     overlay pipeline's global bbox — splitting never leaves it); saves the
     per-row max scan in the metadata job (count-only agg instead)."""
-    b = (fills if pre_filtered else boundary_segments_df(fills, rule)).localCheckpoint(
-        eager=True
+    b = (
+        (fills if pre_filtered else boundary_segments_df(fills, rule))
+        # extraction reads only coordinates + fill bits: prune before the
+        # checkpoint so subj/clip never enter it or the downstream shuffles
+        .select("ax", "ay", "bx", "by", "fill")
+        .localCheckpoint(eager=True)
     )
 
     # one metadata job: coordinate cap for node-id packing AND the edge count
