@@ -16,7 +16,7 @@ print(json.dumps(r))" 2>/dev/null | tail -1)
   OK=$(python -c "print(1 if float('$CPU' or 0) >= 3.55 and float('$MEM' or 0) >= 3.35 else 0)" 2>/dev/null)
   echo "$(date +%H:%M:%S) probe cpu=$CPU mem=$MEM ok=$OK" >> "$LOG"
   if [ "$OK" = "1" ]; then
-    R=$(timeout 300 python audits/lines_net_audit.py "$N" 2>/dev/null | tr '\r' '\n' | grep RESULT)
+    R=$(timeout 300 python audits/lines_net_audit.py "$N" --warm 2>/dev/null | tr '\r' '\n' | grep RESULT)
     echo "$(date +%H:%M:%S) $R (probe cpu=$CPU mem=$MEM)" >> "$LOG"
   fi
   sleep 150

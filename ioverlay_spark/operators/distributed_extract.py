@@ -829,6 +829,9 @@ def extract_shapes_df(
                 yield from kern(pa.Table.from_batches(chunks)).to_batches()
 
         rings = (
+            # repartition(1), not coalesce(1): measured equal-or-faster (the
+            # 64-way shuffle write parallelizes; coalesce serializes the block
+            # reads into the one task) and it cannot infect upstream lineage
             b.repartition(1)
             .mapInArrow(it, schema=RINGS_SCHEMA)
             .localCheckpoint(eager=True)
