@@ -1075,7 +1075,16 @@ def distributed_overlay(
     # splitting never leaves the input bbox, so the merge-stage bounds cap the
     # coordinates of every downstream row — extract can skip its max scan
     cmax_hint = max(abs(bounds[1]), abs(bounds[2]), abs(bounds[3]), abs(bounds[4]))
-    return extract_shapes_df(fills, rule, options, pre_filtered=True, cmax_hint=cmax_hint)
+    return extract_shapes_df(
+        fills,
+        rule,
+        options,
+        pre_filtered=True,
+        cmax_hint=cmax_hint,
+        # post-split row count UPPER BOUND >= boundary rows: when it already
+        # clears the fused cap, extract skips its count job (one barrier less)
+        n_edges_hint=getattr(split, "_ioverlay_n_segments", None),
+    )
 
 
 def contours_to_segments_df(spark: SparkSession, contours_df: DataFrame) -> DataFrame:

@@ -779,6 +779,7 @@ def extract_shapes_df(
     band_bits: int = 13,
     pre_filtered: bool = False,
     cmax_hint: int | None = None,
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """Full distributed extraction. Returns rings with resolved shape ids:
     (shape_id, ring_id, is_hole, pts_x, pts_y, area2).
@@ -799,8 +800,17 @@ def extract_shapes_df(
     )
 
     # one metadata job: coordinate cap for node-id packing AND the edge count
-    # (reused as the CC dispatch bound, saving its limit-probe job)
-    if cmax_hint is not None:
+    # (reused as the CC dispatch bound, saving its limit-probe job).
+    # n_edges_hint: an UPPER BOUND on the row count — when it already clears
+    # the fused cap the dispatch is decided without any job at all (the exact
+    # count only matters when the bound exceeds the cap, where boundary
+    # filtering may still have cut the true count below it).
+    if cmax_hint is not None and n_edges_hint is not None and (
+        n_edges_hint <= _FUSED_EXTRACT_CAP
+    ):
+        n_edges = n_edges_hint
+        cmax = cmax_hint
+    elif cmax_hint is not None:
         n_edges = b.count()
         cmax = cmax_hint
     else:
