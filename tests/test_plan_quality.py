@@ -221,9 +221,11 @@ def test_apply_marks_plan_has_no_quadratic_array_ops(spark):
 
 
 def test_strip_assignment_has_no_interpreted_filter(spark):
-    """The fill stage's strip assignment must stay an Arrow-batched searchsorted
-    (pandas_udf), never an interpreted per-strip HOF filter/exists scan
-    (VERDICT r02 Wrong #4: O(n_strips) lambda per row)."""
+    """The fill stage's strip assignment must stay a generated nested-IF binary
+    search (pure codegen Column expression) — never an interpreted per-strip
+    HOF filter/exists scan (VERDICT r02 Wrong #4: O(n_strips) lambda per row)
+    and no longer the Arrow pandas_udf either (it broke the map-side stage's
+    codegen with a JVM->python->JVM round trip per post-split row)."""
     from ioverlay_spark.operators.distributed import compute_fills_df
 
     segs = spark.createDataFrame(
@@ -234,3 +236,6 @@ def test_strip_assignment_has_no_interpreted_filter(spark):
     phys = plan_str(df)
     for bad in ("ArrayFilter", "ArrayExists", "filter(", "exists("):
         assert bad not in phys
+    # exactly one python node (the strip-fill kernel itself); the strip index
+    # must not add an ArrowEvalPython ahead of the shuffle
+    assert phys.count("EvalPython") <= 1, phys
