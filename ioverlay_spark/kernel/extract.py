@@ -321,6 +321,31 @@ def _ring_scan(pts) -> tuple[int, bool]:
     return s, clean
 
 
+def _ring_scan_np(arr: np.ndarray) -> tuple[int, bool]:
+    """Vectorized _ring_scan for long ndarray rings — exact: shoelace terms are
+    int64 (|term| <= 2*mx^2 < 2^61 under the coordinate guard) and the running
+    sum, which CAN overflow int64 at 400k terms, is split into hi/lo 32-bit
+    halves summed separately (each bounded by n*2^32) and recombined as python
+    ints. Same vertex checks as the scalar scan (dup + collinear cross)."""
+    x = arr[:, 0]
+    y = arr[:, 1]
+    mx = int(np.abs(arr).max(initial=0))
+    if 4 * mx * mx >= (1 << 62):
+        return _ring_scan([tuple(p) for p in arr.tolist()])
+    x1 = np.roll(x, -1)
+    y1 = np.roll(y, -1)
+    terms = x * y1 - x1 * y
+    hi = terms >> 32
+    lo = terms - (hi << 32)
+    s = (int(hi.sum()) << 32) + int(lo.sum())
+    x0 = np.roll(x, 1)
+    y0 = np.roll(y, 1)
+    if ((x == x0) & (y == y0)).any():
+        return s, False
+    cr = (x - x0) * (y1 - y) - (y - y0) * (x1 - x)
+    return s, not bool((cr == 0).any())
+
+
 def simplify_ring(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
     """Drop repeated and collinear vertices (reference contour validation,
     iOverlay/src/core/extract.rs:312-333)."""
@@ -370,8 +395,14 @@ def bind_holes(hulls: list, holes: list) -> list[list]:
     if not holes:
         return shapes
 
+    # scanning copies: ndarray rings (the long-ring fast path) degrade python
+    # per-element indexing ~20x — normalize to lists for the binder's loops
+    # while `shapes` keeps the original objects for output
+    hulls = [r.tolist() if isinstance(r, np.ndarray) else r for r in hulls]
+    holes_scan = [r.tolist() if isinstance(r, np.ndarray) else r for r in holes]
+
     seg_rows = []  # (ax, ay, bx, by, kind, ridx)
-    for kind, rings in ((0, hulls), (1, holes)):
+    for kind, rings in ((0, hulls), (1, holes_scan)):
         for ridx, ring in enumerate(rings):
             n = len(ring)
             ccw = ring_area2(ring) > 0
@@ -395,7 +426,7 @@ def bind_holes(hulls: list, holes: list) -> list[list]:
                 seg_rows.append((ax, ay, bx, by, kind, ridx))
 
     anchors = []
-    for hidx, ring in enumerate(holes):
+    for hidx, ring in enumerate(holes_scan):
         k = min(range(len(ring)), key=lambda i: (int(ring[i][0]), int(ring[i][1])))
         anchors.append((int(ring[k][0]), int(ring[k][1]), hidx))
 
@@ -486,6 +517,17 @@ def _fast_walk_contours(segs, fills, rule, clockwise_output, boundary):
     out = []
     for i in range(len(ring_data["slot"])):
         L = int(ring_data["len"][i])
+        if L >= 4096:
+            # long rings stay numpy end-to-end: finalize_contours scans them
+            # vectorized (_ring_scan_np) and emits the array without a copy —
+            # the list-of-tuples round trip cost ~0.3 s on a 400k-point ring
+            arr = np.empty((L, 2), dtype=np.int64)
+            arr[0, 0] = ring_data["first_x"][i]
+            arr[0, 1] = ring_data["first_y"][i]
+            arr[1:, 0] = ring_data["buf_x"][i, : L - 1]
+            arr[1:, 1] = ring_data["buf_y"][i, : L - 1]
+            out.append((arr, bool(ring_data["hole"][i])))
+            continue
         ring = [(int(ring_data["first_x"][i]), int(ring_data["first_y"][i]))]
         ring.extend(
             zip(
@@ -507,12 +549,17 @@ def finalize_contours(contours: list, options: OverlayOptions) -> list[list[np.n
     for ring, hole in contours:
         if len(ring) < 3:
             continue
+        is_np = isinstance(ring, np.ndarray)
         if not options.preserve_output_collinear:
-            a2, ring_clean = _ring_scan(ring)
+            a2, ring_clean = _ring_scan_np(ring) if is_np else _ring_scan(ring)
             if not ring_clean:
-                ring = simplify_ring(list(ring))
+                ring = simplify_ring(
+                    [tuple(p) for p in ring.tolist()] if is_np else list(ring)
+                )
                 if len(ring) < 3:
                     continue
+        elif is_np:
+            a2 = _ring_scan_np(ring)[0]
         else:
             a2 = ring_area2(ring)
         if a2 == 0 or (min_area2 > 0 and abs(a2) < min_area2):
@@ -523,7 +570,13 @@ def finalize_contours(contours: list, options: OverlayOptions) -> list[list[np.n
             hulls.append(ring)
 
     shapes = bind_holes(hulls, holes)
-    return [[np.array(ring, dtype=np.int64) for ring in shape] for shape in shapes]
+    return [
+        [
+            ring if isinstance(ring, np.ndarray) else np.array(ring, dtype=np.int64)
+            for ring in shape
+        ]
+        for shape in shapes
+    ]
 
 
 class _StartPath:
