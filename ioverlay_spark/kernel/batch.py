@@ -41,11 +41,20 @@ Shapes = list[list[np.ndarray]]
 _COORD_CAP = 1 << 30  # beyond this, scalar path (object-int math) is required
 
 
-def _scalar_batch(jobs, rules, fill_rule, options) -> list[dict]:
+def _scalar_batch(jobs, rules, fill_rule, options, with_areas: bool = False) -> list[dict]:
     out = []
     for subj, clip in jobs:
         g = build_graph(subj, clip, fill_rule, options)
-        out.append({rule: g.extract(rule) for rule in rules})
+        if with_areas:
+            from .extract import ring_area2
+
+            res = {}
+            for rule in rules:
+                shapes = g.extract(rule)
+                res[rule] = (shapes, [[int(ring_area2(r)) for r in s] for s in shapes])
+            out.append(res)
+        else:
+            out.append({rule: g.extract(rule) for rule in rules})
     return out
 
 
@@ -634,7 +643,7 @@ def _fast_contours_batch(
     return tile_fast, ring_data
 
 
-def _finalize_fast(ring_data, options) -> dict[int, Shapes]:
+def _finalize_fast(ring_data, options, with_areas: bool = False) -> dict[int, Shapes]:
     """Vectorized validate + classify for the fast-walk ring buffers: rings are
     grouped by length into regular (k, L) blocks, duplicate/collinear-vertex
     detection and the shoelace area run as array ops, and only DIRTY rings (rare)
@@ -642,10 +651,11 @@ def _finalize_fast(ring_data, options) -> dict[int, Shapes]:
     actually has holes. Output equals extract_shapes over the same contours."""
     from .extract import bind_holes, ring_area2, simplify_ring
 
-    out: dict[int, list] = {int(sl): [] for sl in ring_data["fast_slots"]}
+    empty = ([], []) if with_areas else []
+    out: dict[int, list] = {int(sl): empty for sl in ring_data["fast_slots"]}
     n = len(ring_data["slot"])
     if n == 0:
-        return {sl: [] for sl in out}
+        return {sl: empty for sl in out}
     hulls_by_slot: dict[int, list] = {}
     holes_by_slot: dict[int, list] = {}
     min_area2 = 2 * options.min_output_area
@@ -702,16 +712,26 @@ def _finalize_fast(ring_data, options) -> dict[int, Shapes]:
                 continue
             sl = int(slots[t])
             tgt = holes_by_slot if holes_f[t] else hulls_by_slot
-            tgt.setdefault(sl, []).append((ri, arr))
+            tgt.setdefault(sl, []).append((ri, arr, int(ra2)))
 
     for sl in out:
-        hulls = sorted(hulls_by_slot.get(sl, []))
-        holes = sorted(holes_by_slot.get(sl, []))
+        hulls = sorted(hulls_by_slot.get(sl, []), key=lambda t: t[0])
+        holes = sorted(holes_by_slot.get(sl, []), key=lambda t: t[0])
         if not holes:
-            out[sl] = [[arr] for _, arr in hulls]
+            if with_areas:
+                out[sl] = ([[arr] for _, arr, _ in hulls], [[a2] for _, _, a2 in hulls])
+            else:
+                out[sl] = [[arr] for _, arr, _ in hulls]
             continue
-        shapes = bind_holes([h for _, h in hulls], [h for _, h in holes])
-        out[sl] = [[np.array(r, dtype=np.int64) for r in shape] for shape in shapes]
+        amap = {id(arr): a2 for _, arr, a2 in hulls + holes}
+        shapes = bind_holes([h for _, h, _ in hulls], [h for _, h, _ in holes])
+        if with_areas:
+            out[sl] = (
+                [[np.array(r, dtype=np.int64) for r in shape] for shape in shapes],
+                [[amap[id(r)] for r in shape] for shape in shapes],
+            )
+        else:
+            out[sl] = [[np.array(r, dtype=np.int64) for r in shape] for shape in shapes]
     return out
 
 
@@ -730,13 +750,16 @@ def overlay_batch(
     fill_rule: FillRule = FillRule.EVEN_ODD,
     options: OverlayOptions = DEFAULT_OPTIONS,
     fast_extract: bool | None = None,
+    with_areas: bool = False,
 ) -> list[dict[OverlayRule, Shapes]]:
     """Run a batch of (subj_rings, clip_rings) jobs; returns per-job {rule: shapes}.
 
     Bit-identical to per-job kernel runs (tiles are disjoint in x, so no stage ever
     pairs segments across jobs). Falls back to the scalar path when coordinates are
     large enough to need python-int math batch-wide. fast_extract enables the
-    vectorized degree-2 ring walk (see FAST_EXTRACT_DEFAULT)."""
+    vectorized degree-2 ring walk (see FAST_EXTRACT_DEFAULT). with_areas=True
+    returns {rule: (shapes, areas)} with the validation scan's per-ring signed
+    area2 — emitting consumers should use it instead of re-walking each ring."""
     if fast_extract is None:
         fast_extract = FAST_EXTRACT_DEFAULT
     rules = [OverlayRule(r) for r in rules]
@@ -744,12 +767,13 @@ def overlay_batch(
     if nj == 0:
         return []
     if nj == 1:
-        return _scalar_batch(jobs, rules, fill_rule, options)
+        return _scalar_batch(jobs, rules, fill_rule, options, with_areas=with_areas)
     t = _graph_batch_parts(jobs, fill_rule, options)
     if t is None:
-        return _scalar_batch(jobs, rules, fill_rule, options)
+        return _scalar_batch(jobs, rules, fill_rule, options, with_areas=with_areas)
+    _mt = (lambda: ([], [])) if with_areas else (lambda: [])
     results: list[dict[OverlayRule, Shapes]] = [
-        {rule: [] for rule in rules} for _ in range(nj)
+        {rule: _mt() for rule in rules} for _ in range(nj)
     ]
     if t == _EMPTY:
         return results
@@ -776,7 +800,7 @@ def overlay_batch(
         if ring_data is None:
             fast_shapes[rule] = {}
         else:
-            fast_shapes[rule] = _finalize_fast(ring_data, options)
+            fast_shapes[rule] = _finalize_fast(ring_data, options, with_areas=with_areas)
     any_slow = ~np.ones(nj, dtype=bool)
     for rule in rules:
         any_slow |= ~fast_mask[rule]
@@ -800,10 +824,12 @@ def overlay_batch(
             g = _LinkGraph(all_pa[lo:hi], all_pb[lo:hi], all_fl[lo:hi])
         for rule in rules:
             if fast_mask[rule][slot]:
-                results[slot][rule] = fast_shapes[rule].get(slot, [])
+                results[slot][rule] = fast_shapes[rule].get(slot, _mt())
             else:
                 contours = walk_contours(
                     None, None, rule, clockwise, rule_masks[rule][lo:hi], g
                 )
-                results[slot][rule] = finalize_contours(contours, options)
+                results[slot][rule] = finalize_contours(
+                    contours, options, with_areas=with_areas
+                )
     return results

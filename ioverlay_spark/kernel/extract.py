@@ -477,10 +477,12 @@ def extract_shapes(
     boundary: np.ndarray | None = None,
     contours: list | None = None,
     graph: "_LinkGraph | None" = None,
+    with_areas: bool = False,
 ) -> list[list[np.ndarray]]:
     """Full extraction: boundary filter -> reference walk -> validate -> hole binding.
 
-    Returns shapes: list of [hull, hole, hole, ...] rings as (n,2) int64 arrays.
+    Returns shapes: list of [hull, hole, hole, ...] rings as (n,2) int64 arrays
+    (with with_areas=True, a (shapes, areas) pair — see finalize_contours).
     `contours` may carry precomputed [(ring_points, is_hole)] (the batch kernel's
     vectorized degree-2 walk) — must equal walk_contours' output exactly."""
     clockwise_output = options.output_direction == ContourDirection.CLOCKWISE
@@ -491,7 +493,7 @@ def extract_shapes(
         contours = _fast_walk_contours(segs, fills, rule, clockwise_output, boundary)
     if contours is None:
         contours = walk_contours(segs, fills, rule, clockwise_output, boundary, graph)
-    return finalize_contours(contours, options)
+    return finalize_contours(contours, options, with_areas=with_areas)
 
 
 def _fast_walk_contours(segs, fills, rule, clockwise_output, boundary):
@@ -539,13 +541,21 @@ def _fast_walk_contours(segs, fills, rule, clockwise_output, boundary):
     return out
 
 
-def finalize_contours(contours: list, options: OverlayOptions) -> list[list[np.ndarray]]:
+def finalize_contours(
+    contours: list, options: OverlayOptions, with_areas: bool = False
+) -> list[list[np.ndarray]]:
     """Validate walked contours (dedupe/collinear, min-area) and bind holes —
     the back half of extract_shapes, callable directly when the caller already
-    ran the walk (the batch kernel walks with a shared per-tile graph)."""
+    ran the walk (the batch kernel walks with a shared per-tile graph).
+
+    with_areas=True additionally returns the per-ring signed shoelace area2
+    aligned with the shapes structure — the validation scan computes it anyway
+    (dup/collinear drops never change the shoelace sum), so consumers that
+    emit area columns should take it here instead of re-walking every ring."""
     hulls: list[list[tuple[int, int]]] = []
     holes: list[list[tuple[int, int]]] = []
     min_area2 = 2 * options.min_output_area
+    amap: dict[int, int] = {}
     for ring, hole in contours:
         if len(ring) < 3:
             continue
@@ -564,19 +574,25 @@ def finalize_contours(contours: list, options: OverlayOptions) -> list[list[np.n
             a2 = ring_area2(ring)
         if a2 == 0 or (min_area2 > 0 and abs(a2) < min_area2):
             continue
+        if with_areas:
+            amap[id(ring)] = int(a2)
         if hole:
             holes.append(ring)
         else:
             hulls.append(ring)
 
     shapes = bind_holes(hulls, holes)
-    return [
+    out = [
         [
             ring if isinstance(ring, np.ndarray) else np.array(ring, dtype=np.int64)
             for ring in shape
         ]
         for shape in shapes
     ]
+    if not with_areas:
+        return out
+    areas = [[amap[id(ring)] for ring in shape] for shape in shapes]
+    return out, areas
 
 
 class _StartPath:

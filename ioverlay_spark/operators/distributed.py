@@ -970,7 +970,7 @@ def _local_overlay_kernel(rule: OverlayRule, fill_rule: FillRule, options: Overl
     falls back to the scalar python-int path when coordinates exceed the
     int64-safe range."""
     from ..kernel.batch import _COORD_CAP, _fills_batch, _split_batch
-    from ..kernel.extract import extract_shapes, ring_area2
+    from ..kernel.extract import extract_shapes
     from ..kernel.fill import compute_fills_windowed as kernel_fills
     from ..kernel.segments import Segments
     from ..kernel.split import split_segments as kernel_split
@@ -993,11 +993,11 @@ def _local_overlay_kernel(rule: OverlayRule, fill_rule: FillRule, options: Overl
         # fill: the x-windowed midpoint ray-cast (O(n * local density) — exact,
         # differential-tested against the dense kernel)
         fills = kernel_fills(segs, fill_rule)
-        shapes = extract_shapes(segs, fills, rule, options)
+        shapes, areas = extract_shapes(segs, fills, rule, options, with_areas=True)
         rows = []
         rid = 0
-        for si, shape in enumerate(shapes):
-            for ri, ring in enumerate(shape):
+        for si, (shape, s_areas) in enumerate(zip(shapes, areas)):
+            for ri, (ring, a2) in enumerate(zip(shape, s_areas)):
                 rows.append(
                     (
                         si,
@@ -1005,7 +1005,7 @@ def _local_overlay_kernel(rule: OverlayRule, fill_rule: FillRule, options: Overl
                         ri > 0,
                         [int(p[0]) for p in ring],
                         [int(p[1]) for p in ring],
-                        int(ring_area2(ring)),
+                        a2,
                     )
                 )
                 rid += 1

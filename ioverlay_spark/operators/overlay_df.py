@@ -26,7 +26,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernel import build_graph, ring_area2
 from ..options import DEFAULT_OPTIONS, FillRule, OverlayOptions, OverlayRule
 
 GEOMS_SCHEMA = StructType(
@@ -88,17 +87,20 @@ def _overlay_kernel_factory(rules, fill_rule, options):
                 i += 1
             jobs.append((subj, clip))
             job_ids.append(pair_id)
-        for pair_id, result in zip(job_ids, overlay_batch(jobs, rules, fill_rule, options)):
+        for pair_id, result in zip(
+            job_ids, overlay_batch(jobs, rules, fill_rule, options, with_areas=True)
+        ):
             for rule in rules:
-                for sid, shape in enumerate(result[rule]):
-                    for cid, ring in enumerate(shape):
+                shapes, areas = result[rule]
+                for sid, (shape, s_areas) in enumerate(zip(shapes, areas)):
+                    for cid, (ring, a2) in enumerate(zip(shape, s_areas)):
                         out_pair.append(pair_id)
                         out_rule.append(rule.value)
                         out_sid.append(sid)
                         out_cid.append(cid)
                         out_x.append(ring[:, 0].tolist())
                         out_y.append(ring[:, 1].tolist())
-                        out_a2.append(ring_area2(ring))
+                        out_a2.append(a2)
         return pd.DataFrame(
             {
                 "pair_id": pd.Series(out_pair, dtype="int64"),
@@ -200,19 +202,20 @@ def overlay_rows(
                     pdf["subj_x"], pdf["subj_y"], pdf["clip_x"], pdf["clip_y"]
                 )
             ]
-            res = overlay_batch(jobs, rule_objs, fr, options)
+            res = overlay_batch(jobs, rule_objs, fr, options, with_areas=True)
             op, orr, osid, ocid, ox, oy, oa = [], [], [], [], [], [], []
             for pid, r in zip(pids, res):
                 for rule in rule_objs:
-                    for sid, shape in enumerate(r[rule]):
-                        for cid, ring in enumerate(shape):
+                    shapes, areas = r[rule]
+                    for sid, (shape, s_areas) in enumerate(zip(shapes, areas)):
+                        for cid, (ring, a2) in enumerate(zip(shape, s_areas)):
                             op.append(int(pid))
                             orr.append(rule.value)
                             osid.append(sid)
                             ocid.append(cid)
                             ox.append(ring[:, 0].tolist())
                             oy.append(ring[:, 1].tolist())
-                            oa.append(ring_area2(ring))
+                            oa.append(a2)
             yield pd.DataFrame(
                 {
                     "pair_id": pd.Series(op, dtype="int64"),
