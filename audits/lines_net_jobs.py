@@ -32,6 +32,7 @@ spark = (
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.eventLog.enabled", "true")
+    .config("spark.eventLog.compress", "false")
     .config("spark.eventLog.dir", LOGDIR)
     .getOrCreate()
 )
