@@ -220,7 +220,16 @@ def vectorized_ring_segments(ring_pts, ring_job, ring_subj, options=DEFAULT_OPTI
         return _EMPTY
     counts = np.array([len(p) for p in ring_pts], dtype=np.int64)
     P = np.concatenate(ring_pts, axis=0) if nr else np.zeros((0, 2), np.int64)
-    if len(P) == 0:
+    return vectorized_ring_segments_flat(P, counts, ring_job, ring_subj, options)
+
+
+def vectorized_ring_segments_flat(P, counts, ring_job, ring_subj, options=DEFAULT_OPTIONS):
+    """vectorized_ring_segments over an already-FLAT ring layout: P is the
+    (total_pts, 2) int64 stack of every ring's points, counts the per-ring point
+    counts — the shape Arrow list columns decode to with zero per-row Python
+    (operators/overlay_df.py's mapInArrow worker)."""
+    nr = len(counts)
+    if nr == 0 or len(P) == 0:
         return _EMPTY
     if int(np.abs(P).max(initial=0)) >= _COORD_CAP:
         return None
@@ -267,7 +276,9 @@ def vectorized_ring_segments(ring_pts, ring_job, ring_subj, options=DEFAULT_OPTI
     parts_c = [eclip]
     parts_j = [e_job]
     for r in np.flatnonzero(dirty):
-        sg = build_segments([ring_pts[r]], ring_subj[r], options.preserve_input_collinear)
+        sg = build_segments(
+            [P[S[r]:S[r + 1]]], ring_subj[r], options.preserve_input_collinear
+        )
         if len(sg) == 0:
             continue
         parts_ax.append(sg.ax)
@@ -319,6 +330,21 @@ def _batch_tiled_segments(jobs, options):
         return None
     if t == _EMPTY:
         return _EMPTY
+    return _tile_place(t, nj)
+
+
+def _batch_tiled_segments_flat(P, counts, ring_job, ring_subj, nj, options):
+    """_batch_tiled_segments over the flat ring layout (no per-job python loop)."""
+    t = vectorized_ring_segments_flat(P, counts, ring_job, ring_subj, options)
+    if t is None:
+        return None
+    if t == _EMPTY:
+        return _EMPTY
+    return _tile_place(t, nj)
+
+
+def _tile_place(t, nj):
+    """Translate each job's segments into its own disjoint x-tile (slot * W)."""
     ax, ay, bx, by, subj, clip, ejob = t
 
     # ---- tile placement -----------------------------------------------------
@@ -347,6 +373,11 @@ def _graph_batch_parts(jobs, fill_rule, options):
     """One tiled split+fill pass over a whole batch. Returns
     (segs, all_fills, starts, off, y0) in TILED coordinates, _EMPTY, or None."""
     t = _batch_tiled_segments(jobs, options)
+    return _split_fill_parts(t, len(jobs), fill_rule)
+
+
+def _split_fill_parts(t, nj, fill_rule):
+    """Split + fill over tiled segments (shared tail of the jobs/flat ingests)."""
     if t is None or t == _EMPTY:
         return t
     raw, off, y0, W = t
@@ -354,7 +385,6 @@ def _graph_batch_parts(jobs, fill_rule, options):
     n = len(segs)
     if n == 0:
         return _EMPTY
-    nj = len(jobs)
     starts = np.searchsorted(segs.ax, np.arange(nj + 1, dtype=np.int64) * W)
     seg_tile = np.searchsorted(starts, np.arange(n, dtype=np.int64), side="right") - 1
     all_fills = _fills_batch(segs, fill_rule, starts[seg_tile])
@@ -439,6 +469,14 @@ def _fast_contours_batch(
     mny = int(ends[:, 1].min())
     spanx = int(ends[:, 0].max()) - mnx
     spany = int(ends[:, 1].max()) - mny
+    # NARROW (int32) mode: the walk is memory-bandwidth-bound (pointer-doubling
+    # gathers + ring-buffer writes), and at 16 parallel workers the shared bus
+    # is the limiter — halving every id/coordinate word measurably restores the
+    # 4->16 scaling the int64 version lost. Ids fit int32 whenever m < 2^30
+    # (always: batches are Arrow-batch-sized); coordinates fit int32 whenever
+    # the tiled spans do (the same condition as the packed sort key).
+    idt = np.int32 if m < (1 << 30) else np.int64
+    narrow = spanx < (1 << 31) and spany < (1 << 31) and idt is np.int32
     if spanx < (1 << 31) and spany < (1 << 31):
         key = (ends[:, 0] - mnx) * (spany + 1) + (ends[:, 1] - mny)
         order = np.argsort(key, kind="stable")
@@ -446,15 +484,16 @@ def _fast_contours_batch(
         ng = np.empty(len(sk), dtype=bool)
         ng[0] = True
         ng[1:] = sk[1:] != sk[:-1]
-        inv = np.empty(len(sk), dtype=np.int64)
-        inv[order] = np.cumsum(ng) - 1
+        inv = np.empty(len(sk), dtype=idt)
+        inv[order] = np.cumsum(ng, dtype=idt) - idt(1)
     else:
         v = ends.view([("x", np.int64), ("y", np.int64)]).ravel()
         _, inv = np.unique(v, return_inverse=True)
         order = np.argsort(inv, kind="stable")
-    a_node = inv[0::2]
-    b_node = inv[1::2]
-    deg = np.bincount(inv)
+        inv = inv.astype(idt, copy=False)
+    a_node = np.ascontiguousarray(inv[0::2])
+    b_node = np.ascontiguousarray(inv[1::2])
+    deg = np.bincount(inv).astype(idt, copy=False)
     bad_entries = deg[inv] != 2
     if bad_entries.any():
         bad_links = np.unique(np.repeat(np.arange(m), 2)[bad_entries])
@@ -462,10 +501,10 @@ def _fast_contours_batch(
     # incidence pairs per degree-2 node, in scalar scan order (entry index):
     # `order` (computed with the node ids above) is already
     # argsort(inv, kind="stable")
-    link_of_entry = np.repeat(np.arange(m, dtype=np.int64), 2)
+    link_of_entry = np.repeat(np.arange(m, dtype=idt), 2)
     n_nodes = len(deg)
     # only degree-2 nodes are addressed below; build dense (n_nodes, 2) tables
-    l12 = np.full((n_nodes, 2), -1, dtype=np.int64)
+    l12 = np.full((n_nodes, 2), -1, dtype=idt)
     ok2 = deg == 2
     # positions of each node's entries in sorted order
     first_pos = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(deg)])[:-1]
@@ -485,7 +524,7 @@ def _fast_contours_batch(
         return tile_fast, None
 
     # directed edges: id = 2*link + bit, bit=0 -> to_node = a_node, bit=1 -> b_node
-    ids = np.arange(2 * m, dtype=np.int64)
+    ids = np.arange(2 * m, dtype=idt)
     dlink = ids >> 1
     dbit = ids & 1
     to_node = np.where(dbit == 1, b_node[dlink], a_node[dlink])
@@ -494,7 +533,7 @@ def _fast_contours_batch(
     o = np.where(l12[to_safe, 0] == dlink, l12[to_safe, 1], l12[to_safe, 0])
     o = np.where(safe, o, dlink)  # harmless self-successor on slow tiles
     # new bit: the end of o that is NOT to_node
-    nbit = np.where(a_node[o] == to_safe, 1, 0)
+    nbit = np.where(a_node[o] == to_safe, idt(1), idt(0))
     perm = 2 * o + nbit
 
     # cycle labeling: min link id reachable (pointer doubling)
@@ -505,8 +544,8 @@ def _fast_contours_batch(
         p = p[p]
     # ring length per start = (#directed ids with this label) / 2
     counts = np.bincount(val, minlength=m)
-    ring_len = counts // 2
-    start_links = np.flatnonzero(counts)  # labels are link ids
+    ring_len = (counts // 2).astype(idt, copy=False)
+    start_links = np.flatnonzero(counts).astype(idt, copy=False)  # labels are link ids
     # cap: huge rings take the scalar path
     big = start_links[ring_len[start_links] > max_ring]
     if len(big):
@@ -578,14 +617,21 @@ def _fast_contours_batch(
         lens = ring_len[s]
     L_max = int(lens.max())
     nrings = len(s)
-    # node point lookup (any entry of the node)
-    node_x = np.zeros(n_nodes, dtype=np.int64)
-    node_y = np.zeros(n_nodes, dtype=np.int64)
-    node_x[inv] = ends[:, 0]
-    node_y[inv] = ends[:, 1]
+    # node point lookup (any entry of the node); narrow mode stores coordinates
+    # relative to (mnx, mny) in int32 — converted back to per-job int64 after
+    # the walk, so downstream (finalize) sees identical values
+    cdt = np.int32 if narrow else np.int64
+    node_x = np.zeros(n_nodes, dtype=cdt)
+    node_y = np.zeros(n_nodes, dtype=cdt)
+    if narrow:
+        node_x[inv] = ends[:, 0] - mnx
+        node_y[inv] = ends[:, 1] - mny
+    else:
+        node_x[inv] = ends[:, 0]
+        node_y[inv] = ends[:, 1]
 
-    buf_x = np.zeros((nrings, L_max), dtype=np.int64)
-    buf_y = np.zeros((nrings, L_max), dtype=np.int64)
+    buf_x = np.zeros((nrings, L_max), dtype=cdt)
+    buf_y = np.zeros((nrings, L_max), dtype=cdt)
     if L_max <= 64:
         # short rings (the common batch shape): per-step column writes
         for step in range(L_max - 1):
@@ -603,17 +649,17 @@ def _fast_contours_batch(
         # shares its label but never reaches the absorbing edge, so its
         # ranks blow past the ring length and the <= L-2 filter drops it.
         m2 = 2 * m
-        ids2 = np.arange(m2, dtype=np.int64)
-        ip = np.empty(m2, dtype=np.int64)
+        ids2 = np.arange(m2, dtype=idt)
+        ip = np.empty(m2, dtype=idt)
         ip[perm] = ids2
         ip[cur] = cur  # absorb at each fast ring's start edge
-        dist = np.where(ip == ids2, 0, 1).astype(np.int64)
+        dist = np.where(ip == ids2, idt(0), idt(1))
         p = ip
         for _ in range(int(np.ceil(np.log2(max(m2, 2)))) + 1):
             dist = dist + dist[p]
             p = p[p]
-        ring_row = np.full(m, -1, dtype=np.int64)
-        ring_row[s] = np.arange(nrings, dtype=np.int64)
+        ring_row = np.full(m, -1, dtype=idt)
+        ring_row[s] = np.arange(nrings, dtype=idt)
         rows_e = ring_row[val]
         ok = rows_e >= 0
         ok[ok] &= dist[ok] <= lens[rows_e[ok]] - 2
@@ -627,8 +673,14 @@ def _fast_contours_batch(
     r_slot = link_slot[s]
     first_x = first_x - off[r_slot]
     first_y = first_y + y0
-    buf_x -= off[r_slot][:, None]
-    buf_y += y0
+    if narrow:
+        # int32 relative -> int64 per-job (broadcast with an int64 operand
+        # forces the widening; padding beyond each ring's length is unused)
+        buf_x = buf_x + (mnx - off[r_slot])[:, None]
+        buf_y = np.add(buf_y, mny + y0, dtype=np.int64)
+    else:
+        buf_x -= off[r_slot][:, None]
+        buf_y += y0
     order_r = np.lexsort((s, r_slot))
     ring_data = {
         "slot": r_slot[order_r],
@@ -771,6 +823,60 @@ def overlay_batch(
     t = _graph_batch_parts(jobs, fill_rule, options)
     if t is None:
         return _scalar_batch(jobs, rules, fill_rule, options, with_areas=with_areas)
+    return _overlay_tail(t, nj, rules, options, fast_extract, with_areas)
+
+
+def _jobs_from_flat(P, counts, ring_job, ring_subj, nj):
+    """Reassemble (subj_rings, clip_rings) jobs from the flat ring layout — only
+    for the rare scalar fallback (coords beyond _COORD_CAP)."""
+    S = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+    jobs: list[tuple[list, list]] = [([], []) for _ in range(nj)]
+    for r in range(len(counts)):
+        tgt = jobs[int(ring_job[r])]
+        (tgt[0] if ring_subj[r] else tgt[1]).append(P[S[r]:S[r + 1]])
+    return jobs
+
+
+def overlay_batch_flat(
+    P: np.ndarray,
+    counts: np.ndarray,
+    ring_job: np.ndarray,
+    ring_subj: np.ndarray,
+    nj: int,
+    rules: list[OverlayRule],
+    fill_rule: FillRule = FillRule.EVEN_ODD,
+    options: OverlayOptions = DEFAULT_OPTIONS,
+    fast_extract: bool | None = None,
+    with_areas: bool = False,
+) -> list[dict[OverlayRule, Shapes]]:
+    """overlay_batch over the FLAT ring layout: P = (total_pts, 2) int64 stack of
+    all rings' points, counts/ring_job/ring_subj per ring. This is the zero-
+    per-row ingest for Arrow list columns (offsets+values straight from the
+    RecordBatch) — results are identical to overlay_batch over the same rings."""
+    if fast_extract is None:
+        fast_extract = FAST_EXTRACT_DEFAULT
+    rules = [OverlayRule(r) for r in rules]
+    if nj == 0:
+        return []
+    if nj == 1:
+        return _scalar_batch(
+            _jobs_from_flat(P, counts, ring_job, ring_subj, nj),
+            rules, fill_rule, options, with_areas=with_areas,
+        )
+    t = _split_fill_parts(
+        _batch_tiled_segments_flat(P, counts, ring_job, ring_subj, nj, options),
+        nj, fill_rule,
+    )
+    if t is None:
+        return _scalar_batch(
+            _jobs_from_flat(P, counts, ring_job, ring_subj, nj),
+            rules, fill_rule, options, with_areas=with_areas,
+        )
+    return _overlay_tail(t, nj, rules, options, fast_extract, with_areas)
+
+
+def _overlay_tail(t, nj, rules, options, fast_extract, with_areas):
+    """Extraction over split+filled tiled parts (shared by the jobs/flat entries)."""
     _mt = (lambda: ([], [])) if with_areas else (lambda: [])
     results: list[dict[OverlayRule, Shapes]] = [
         {rule: _mt() for rule in rules} for _ in range(nj)

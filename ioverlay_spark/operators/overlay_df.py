@@ -181,7 +181,14 @@ def overlay_rows(
     jobs use overlay_pairs (grouped by pair_id) instead.
 
     Multiple rules extract from one graph build per pair (A16 reuse,
-    iOverlay/src/core/overlay.rs:303-313), batched through kernel/batch.py."""
+    iOverlay/src/core/overlay.rs:303-313), batched through kernel/batch.py.
+
+    Runs as mapInArrow with a FLAT ring layout on both sides: the list columns'
+    offsets+values feed overlay_batch_flat with zero per-row Python, and the
+    output rings are emitted as one concatenated value buffer per column
+    (pa.ListArray.from_arrays) instead of per-ring python lists — the
+    job-assembly + emission overhead was ~45 us/job of the ~260 us/job worker
+    loop (audits/flagship_stage_profile.py)."""
     from ..session import ship_package
 
     ship_package(rows.sparkSession)
@@ -189,43 +196,86 @@ def overlay_rows(
     fr = FillRule(fill_rule)
 
     def kernel(it):
-        from ..kernel.batch import overlay_batch
+        import pyarrow as pa
 
-        for pdf in it:
-            pids = pdf["pair_id"].to_numpy()
-            jobs = [
-                (
-                    [np.stack([np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64)], axis=1)],
-                    [np.stack([np.asarray(c, dtype=np.int64), np.asarray(d, dtype=np.int64)], axis=1)],
-                )
-                for a, b, c, d in zip(
-                    pdf["subj_x"], pdf["subj_y"], pdf["clip_x"], pdf["clip_y"]
-                )
-            ]
-            res = overlay_batch(jobs, rule_objs, fr, options, with_areas=True)
-            op, orr, osid, ocid, ox, oy, oa = [], [], [], [], [], [], []
+        from ..kernel.batch import overlay_batch_flat
+
+        rule_vals = [r.value for r in rule_objs]
+
+        def flat(rb, name):
+            col = rb.column(name)
+            if col.null_count:
+                raise ValueError(f"overlay_rows: null {name} ring")
+            # offsets are absolute into the (possibly shared/sliced) values
+            # buffer — normalize to a 0-based dense pair
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            vals = np.asarray(col.values, dtype=np.int64)
+            if offs[0] != 0 or offs[-1] != len(vals):
+                vals = vals[offs[0]:offs[-1]]
+                offs = offs - offs[0]
+            return offs, vals
+
+        for rb in it:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            pids = np.asarray(rb.column("pair_id"), dtype=np.int64)
+            sx_off, sx = flat(rb, "subj_x")
+            sy_off, sy = flat(rb, "subj_y")
+            cx_off, cx = flat(rb, "clip_x")
+            cy_off, cy = flat(rb, "clip_y")
+            if not (np.array_equal(sx_off, sy_off) and np.array_equal(cx_off, cy_off)):
+                raise ValueError("overlay_rows: x/y ring length mismatch")
+            ns, nc = len(sx), len(cx)
+            P = np.empty((ns + nc, 2), dtype=np.int64)
+            P[:ns, 0] = sx
+            P[:ns, 1] = sy
+            P[ns:, 0] = cx
+            P[ns:, 1] = cy
+            counts = np.concatenate([np.diff(sx_off), np.diff(cx_off)]).astype(np.int64)
+            ring_job = np.concatenate([np.arange(n), np.arange(n)])
+            ring_subj = np.zeros(2 * n, dtype=bool)
+            ring_subj[:n] = True
+            res = overlay_batch_flat(
+                P, counts, ring_job, ring_subj, n, rule_objs, fr, options,
+                with_areas=True,
+            )
+            op, orr, osid, ocid, oa = [], [], [], [], []
+            rxs, rys, lens = [], [], []
             for pid, r in zip(pids, res):
-                for rule in rule_objs:
+                for ri, rule in enumerate(rule_objs):
                     shapes, areas = r[rule]
                     for sid, (shape, s_areas) in enumerate(zip(shapes, areas)):
                         for cid, (ring, a2) in enumerate(zip(shape, s_areas)):
-                            op.append(int(pid))
-                            orr.append(rule.value)
+                            op.append(pid)
+                            orr.append(rule_vals[ri])
                             osid.append(sid)
                             ocid.append(cid)
-                            ox.append(ring[:, 0].tolist())
-                            oy.append(ring[:, 1].tolist())
+                            rxs.append(ring[:, 0])
+                            rys.append(ring[:, 1])
+                            lens.append(len(ring))
                             oa.append(a2)
-            yield pd.DataFrame(
-                {
-                    "pair_id": pd.Series(op, dtype="int64"),
-                    "rule": pd.Series(orr, dtype="object"),
-                    "shape_id": pd.Series(osid, dtype="int64"),
-                    "contour_idx": pd.Series(ocid, dtype="int32"),
-                    "pts_x": pd.Series(ox, dtype="object"),
-                    "pts_y": pd.Series(oy, dtype="object"),
-                    "area2": pd.Series(oa, dtype="int64"),
-                }
+            m = len(op)
+            offs = np.zeros(m + 1, dtype=np.int32)
+            if m:
+                np.cumsum(lens, out=offs[1:])
+            vx = np.concatenate(rxs) if m else np.empty(0, dtype=np.int64)
+            vy = np.concatenate(rys) if m else np.empty(0, dtype=np.int64)
+            po = pa.array(offs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(op, dtype=np.int64)),
+                    pa.array(orr, type=pa.string()),
+                    pa.array(np.asarray(osid, dtype=np.int64)),
+                    pa.array(np.asarray(ocid, dtype=np.int32)),
+                    pa.ListArray.from_arrays(po, pa.array(np.ascontiguousarray(vx))),
+                    pa.ListArray.from_arrays(po, pa.array(np.ascontiguousarray(vy))),
+                    pa.array(np.asarray(oa, dtype=np.int64)),
+                ],
+                names=[
+                    "pair_id", "rule", "shape_id", "contour_idx",
+                    "pts_x", "pts_y", "area2",
+                ],
             )
 
-    return rows.mapInPandas(kernel, schema=SHAPES_OUT_SCHEMA)
+    return rows.mapInArrow(kernel, schema=SHAPES_OUT_SCHEMA)

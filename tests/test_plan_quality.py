@@ -73,7 +73,7 @@ def test_overlay_rows_zero_shuffle(spark):
     df = overlay_rows(rows, rules=["intersect"])
     p = plan_str(df)
     assert "Exchange" not in p, "rowwise overlay must not shuffle"
-    assert "MapInPandas" in p
+    assert "MapInArrow" in p or "MapInPandas" in p
 
 
 def test_overlay_pairs_single_shuffle(spark):
