@@ -425,6 +425,198 @@ def graph_batch(
     return out
 
 
+def _sim_walk_tiles(
+    tiles, tile_fast, link_slot, lax, lay, lbx, lby, a_node, b_node, inv, ends,
+    n_nodes, first_pos, deg, ent_links, ft, clockwise_output, max_ring,
+):
+    """Exact replay of the scalar trigger loop (extract.walk_contours +
+    left_top_link + next_link, iOverlay/src/core/extract.rs:400-583) for tiles
+    that contain a node of boundary degree > 2. The walk there is HISTORY-
+    dependent — next_link's rotation is the current ring's direction and both
+    scans filter by visited — so it cannot be a precomputed permutation; but
+    these tiles are tiny (a handful of rings each), the replay is plain python
+    over prefetched lists, and ring validation/areas still run vectorized in
+    _finalize_fast. Any unusual shape (dead end, over-cap ring) bails the tile
+    to the scalar path, which guarantees identical output.
+
+    Returns (slot, rank, hole, first_pts, lens, buf_x, buf_y) for the walked
+    rings, in TILED coordinates (caller converts per job), or None."""
+    cwo = bool(clockwise_output)
+    m = len(lax)
+    AX = lax.tolist()
+    AY = lay.tolist()
+    BX = lbx.tolist()
+    BY = lby.tolist()
+    AN = a_node.tolist()
+    BN = b_node.tolist()
+    FP = first_pos.tolist()
+    DG = deg.tolist()
+    EL = ent_links.tolist()
+    FTL = ft.tolist()
+    nx_t = np.zeros(n_nodes, dtype=np.int64)
+    ny_t = np.zeros(n_nodes, dtype=np.int64)
+    nx_t[inv] = ends[:, 0]
+    ny_t[inv] = ends[:, 1]
+    NX = nx_t.tolist()
+    NY = ny_t.tolist()
+    VIS = bytearray(m)
+
+    def _left_top(lk):
+        nd = AN[lk]
+        t = lk
+        tax, tay, tbx, tby = AX[t], AY[t], BX[t], BY[t]
+        e0 = FP[nd]
+        for jj in range(e0, e0 + DG[nd]):
+            i = EL[jj]
+            if i == t:
+                continue
+            if (tbx - tax) * (BY[i] - tay) - (tby - tay) * (BX[i] - tax) < 0:
+                continue
+            if VIS[i]:
+                continue
+            t = i
+            tax, tay, tbx, tby = AX[t], AY[t], BX[t], BY[t]
+        return t
+
+    def _next_link(lk, nd, cw):
+        e0 = FP[nd]
+        dgn = DG[nd]
+        if dgn == 2:
+            i0 = EL[e0]
+            i1 = EL[e0 + 1]
+            if VIS[i0]:
+                return -1 if VIS[i1] else i1
+            if VIS[i1]:
+                return i0
+            cands = [i0, i1]
+        else:
+            cands = [EL[jj] for jj in range(e0, e0 + dgn) if not VIS[EL[jj]]]
+            if not cands:
+                return -1
+            if len(cands) == 1:
+                return cands[0]
+        cx0, cy0 = NX[nd], NY[nd]
+        if AN[lk] == nd:
+            vax, vay = BX[lk] - cx0, BY[lk] - cy0
+        else:
+            vax, vay = AX[lk] - cx0, AY[lk] - cy0
+        rf = 1 if cw else -1
+        best = cands[0]
+        if AN[best] == nd:
+            vbx, vby = BX[best] - cx0, BY[best] - cy0
+        else:
+            vbx, vby = AX[best] - cx0, AY[best] - cy0
+        ab180 = (vax * vby - vay * vbx) * rf >= 0
+        for lid in cands[1:]:
+            if AN[lid] == nd:
+                vpx, vpy = BX[lid] - cx0, BY[lid] - cy0
+            else:
+                vpx, vpy = AX[lid] - cx0, AY[lid] - cy0
+            ap180 = (vax * vpy - vay * vpx) * rf >= 0
+            if ab180 == ap180:
+                if (vpx * vby - vpy * vbx) * rf < 0:
+                    vbx, vby, best = vpx, vpy, lid
+            elif ab180:
+                ab180 = False
+                vbx, vby, best = vpx, vpy, lid
+        return best
+
+    lo_all = np.searchsorted(link_slot, tiles, side="left").tolist()
+    hi_all = np.searchsorted(link_slot, tiles, side="right").tolist()
+    o_slot: list[int] = []
+    o_rank: list[int] = []
+    o_hole: list[bool] = []
+    o_len: list[int] = []
+    fx: list[int] = []
+    fy: list[int] = []
+    flat_x: list[int] = []
+    flat_y: list[int] = []
+    for ti, lo_t, hi_t in zip(tiles.tolist(), lo_all, hi_all):
+        n0 = len(o_slot)
+        f0 = len(flat_x)
+        bail = False
+        rank_c = 0
+        for start in range(lo_t, hi_t):
+            if VIS[start]:
+                continue
+            top = _left_top(start)
+            hole_f = FTL[top]
+            dflag = hole_f == cwo
+            if dflag:
+                px, py = BX[top], BY[top]
+                nd = AN[top]
+                last_nd = BN[top]
+            else:
+                px, py = AX[top], AY[top]
+                nd = BN[top]
+                last_nd = AN[top]
+            VIS[top] = 1
+            last_link = _next_link(top, last_nd, not dflag)
+            if last_link < 0:
+                bail = True  # isolated degenerate pair
+                break
+            lk = top
+            rx: list[int] = []
+            ry: list[int] = []
+            guard = max_ring + 4
+            ok = True
+            while lk != last_link:
+                guard -= 1
+                if guard <= 0:
+                    ok = False
+                    break
+                nxt = _next_link(lk, nd, dflag)
+                if nxt < 0:
+                    ok = False
+                    break
+                lk = nxt
+                rx.append(NX[nd])
+                ry.append(NY[nd])
+                an = AN[lk]
+                nd = BN[lk] if an == nd else an
+                VIS[lk] = 1
+            if not ok or len(rx) + 1 > max_ring:
+                bail = True  # over-cap or pathological: whole tile -> scalar
+                break
+            o_slot.append(ti)
+            o_rank.append(rank_c)
+            o_hole.append(hole_f)
+            o_len.append(len(rx) + 1)
+            fx.append(px)
+            fy.append(py)
+            flat_x.extend(rx)
+            flat_y.extend(ry)
+            rank_c += 1
+        if bail:
+            tile_fast[ti] = False
+            del o_slot[n0:], o_rank[n0:], o_hole[n0:], o_len[n0:]
+            del fx[n0:], fy[n0:], flat_x[f0:], flat_y[f0:]
+    k = len(o_slot)
+    if k == 0:
+        return None
+    lens = np.asarray(o_len, dtype=np.int64)
+    w = int(lens.max())
+    bx = np.zeros((k, w), dtype=np.int64)
+    by = np.zeros((k, w), dtype=np.int64)
+    vx = np.asarray(flat_x, dtype=np.int64)
+    vy = np.asarray(flat_y, dtype=np.int64)
+    row = np.repeat(np.arange(k), lens - 1)
+    offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens - 1)])
+    col = np.arange(len(vx)) - offs[row]
+    bx[row, col] = vx
+    by[row, col] = vy
+    first_pts = np.stack([np.asarray(fx, dtype=np.int64), np.asarray(fy, dtype=np.int64)], axis=1)
+    return (
+        np.asarray(o_slot, dtype=np.int64),
+        np.asarray(o_rank, dtype=np.int64),
+        np.asarray(o_hole, dtype=bool),
+        first_pts,
+        lens,
+        bx,
+        by,
+    )
+
+
 def _fast_contours_batch(
     segs, mask, fills, starts, rule, clockwise_output, off, y0, max_ring=256
 ):
@@ -494,47 +686,67 @@ def _fast_contours_batch(
     a_node = np.ascontiguousarray(inv[0::2])
     b_node = np.ascontiguousarray(inv[1::2])
     deg = np.bincount(inv).astype(idt, copy=False)
-    bad_entries = deg[inv] != 2
-    if bad_entries.any():
-        bad_links = np.unique(np.repeat(np.arange(m), 2)[bad_entries])
-        tile_fast[np.unique(link_slot[bad_links])] = False
-    # incidence pairs per degree-2 node, in scalar scan order (entry index):
-    # `order` (computed with the node ids above) is already
-    # argsort(inv, kind="stable")
+    # incidence entries per node, in scalar scan order (entry index): `order`
+    # (computed with the node ids above) is already argsort(inv, kind="stable")
     link_of_entry = np.repeat(np.arange(m, dtype=idt), 2)
     n_nodes = len(deg)
-    # only degree-2 nodes are addressed below; build dense (n_nodes, 2) tables
-    l12 = np.full((n_nodes, 2), -1, dtype=idt)
-    ok2 = deg == 2
-    # positions of each node's entries in sorted order
     first_pos = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(deg)])[:-1]
+    ok2 = deg == 2
+
+    def _slow_nodes(nodes):
+        """Route every tile touching these node ids to the scalar walk."""
+        if len(nodes) == 0:
+            return
+        ent_b = np.isin(inv, nodes)
+        if ent_b.any():
+            tile_fast[np.unique(link_slot[np.flatnonzero(ent_b) >> 1])] = False
+
+    # dangling boundary ends (degenerate fills) keep the scalar path
+    _slow_nodes(np.flatnonzero(deg == 1))
+    # tiles with ANY higher-degree node (XOR crossings, union pinch points)
+    # are served by an exact per-tile replay of the scalar trigger loop below
+    # (round 4): the walk there is history-dependent (next_link's rotation is
+    # the ring's own direction and left_top/next_link filter by visited), so
+    # it cannot be a precomputed permutation — but those tiles are a tiny
+    # python loop each, and their ring VALIDATION still vectorizes.
+    sim_tile = np.zeros(nslots, dtype=bool)
+    multi = np.flatnonzero(deg > 2)
+    if len(multi):
+        ent_b = np.isin(inv, multi)
+        sim_tile[np.unique(link_slot[np.flatnonzero(ent_b) >> 1])] = True
+
+    # degree-2 incidence tables (l12 for the left-top pick, partner entries
+    # for the pointer-doubling successor)
+    l12 = np.full((n_nodes, 2), -1, dtype=idt)
     nodes2 = np.flatnonzero(ok2)
-    l12[nodes2, 0] = link_of_entry[order[first_pos[nodes2]]]
-    l12[nodes2, 1] = link_of_entry[order[first_pos[nodes2] + 1]]
+    p0 = order[first_pos[nodes2]]
+    p1 = order[first_pos[nodes2] + 1]
+    l12[nodes2, 0] = link_of_entry[p0]
+    l12[nodes2, 1] = link_of_entry[p1]
     # a node whose two entries are the same link (degenerate) -> slow tile
-    same = nodes2[l12[nodes2, 0] == l12[nodes2, 1]]
-    if len(same):
-        ent = np.isin(inv, same)
-        tile_fast[np.unique(link_slot[np.unique(np.repeat(np.arange(m), 2)[ent])])] = False
+    same2 = (p0 >> 1) == (p1 >> 1)
+    if same2.any():
+        _slow_nodes(nodes2[same2])
+        p0 = p0[~same2]
+        p1 = p1[~same2]
 
     if not tile_fast.any() or not tile_fast[link_slot].any():
-        # e.g. XOR: every polygon crossing is a degree-4 pinch -> nothing to
-        # serve; skip the pointer-doubling work entirely
         tile_fast[:] = False
         return tile_fast, None
 
-    # directed edges: id = 2*link + bit, bit=0 -> to_node = a_node, bit=1 -> b_node
+    # directed edges: id = 2*link + bit, bit=0 -> to_node = a_node, bit=1 ->
+    # b_node. A directed edge's id IS its link's entry id at its to_node, so
+    # the degree-2 successor is partner ^ 1 (continue out the partner's other
+    # end); entries at non-degree-2 nodes keep a harmless self-partner (their
+    # tiles are slow or replayed by the sim).
+    partner = np.arange(2 * m, dtype=idt)
+    partner[p0] = p1.astype(idt, copy=False)
+    partner[p1] = p0.astype(idt, copy=False)
     ids = np.arange(2 * m, dtype=idt)
     dlink = ids >> 1
     dbit = ids & 1
     to_node = np.where(dbit == 1, b_node[dlink], a_node[dlink])
-    safe = (to_node >= 0) & ok2[to_node]
-    to_safe = np.where(safe, to_node, 0)
-    o = np.where(l12[to_safe, 0] == dlink, l12[to_safe, 1], l12[to_safe, 0])
-    o = np.where(safe, o, dlink)  # harmless self-successor on slow tiles
-    # new bit: the end of o that is NOT to_node
-    nbit = np.where(a_node[o] == to_safe, idt(1), idt(0))
-    perm = 2 * o + nbit
+    perm = partner ^ idt(1)
 
     # cycle labeling: min link id reachable (pointer doubling)
     val = dlink.copy()
@@ -553,49 +765,33 @@ def _fast_contours_batch(
 
     fast_links = tile_fast[link_slot]
     start_links = start_links[fast_links[start_links]]
-    if len(start_links) == 0:
-        return tile_fast, None
+    # sim tiles' labels are garbage (self-partner bounces at multi nodes chop
+    # their cycles); the replay below produces their rings instead
+    if sim_tile.any():
+        start_links = start_links[~sim_tile[link_slot[start_links]]]
 
-    # left-top pick at the start link (degree-2 specialization of the scalar
-    # left_top_link scan). The scan is ORDER-DEPENDENT: with incidence order
-    # [start, o] the result is o iff c1 >= 0; with [o, start] the scan may flip
-    # to o (c1 >= 0) and then back to start (c2 >= 0), so the result is o iff
-    # c1 >= 0 and c2 < 0. c1 = cross(b_s - a_s, b_o - a_s) tests o against the
-    # start link; c2 = cross(b_o - a_o, b_s - a_o) tests start against o.
     s = start_links
-    sa_node = a_node[s]
-    first_is_start = l12[sa_node, 0] == s
-    o_at = np.where(first_is_start, l12[sa_node, 1], l12[sa_node, 0])
-    c1 = (lbx[s] - lax[s]) * (lby[o_at] - lay[s]) - (lby[s] - lay[s]) * (
-        lbx[o_at] - lax[s]
-    )
-    c2 = (lbx[o_at] - lax[o_at]) * (lby[s] - lay[o_at]) - (lby[o_at] - lay[o_at]) * (
-        lbx[s] - lax[o_at]
-    )
-    pick_o = np.where(first_is_start, c1 >= 0, (c1 >= 0) & (c2 < 0))
-    top = np.where(pick_o, o_at, s)
-    s_top = (lfill[top] & 1) != 0  # SUBJ_TOP
-    c_top = (lfill[top] & 4) != 0  # CLIP_TOP
-    hole = rule_inside(s_top, c_top, rule)
-    d = hole == clockwise_output
-
-    # first ring point + starting directed edge
-    first_x = np.where(d, lbx[top], lax[top])
-    first_y = np.where(d, lby[top], lay[top])
-    cur = np.where(d, 2 * top + 0, 2 * top + 1)  # toward a_node when d
-
     lens = ring_len[s]
-    # ring-buffer memory guard: (nrings x L_max) int64 pairs; overly long
-    # rings beyond the budget take the scalar walk
-    nrings0 = max(len(s), 1)
-    cap = min(max_ring, max(256, 32_000_000 // nrings0))
+    # ring-buffer memory guard: (nrings x L_max) pairs; overly long rings
+    # beyond the budget take the scalar walk
+    cap = min(max_ring, max(256, 32_000_000 // max(len(s), 1)))
     big = s[lens > cap]
     if len(big):
         tile_fast[np.unique(link_slot[big])] = False
         fast_links = tile_fast[link_slot]
         s = s[fast_links[s]]
-        if len(s) == 0:
-            return tile_fast, None
+        lens = ring_len[s]
+    nrings = len(s)
+
+    if nrings:
+        # left-top pick at the start link (degree-2 specialization of the
+        # scalar left_top_link scan — every node on a non-sim fast tile is
+        # degree 2). The scan is ORDER-DEPENDENT: with incidence order
+        # [start, o] the result is o iff c1 >= 0; with [o, start] the scan may
+        # flip to o (c1 >= 0) and then back to start (c2 >= 0), so the result
+        # is o iff c1 >= 0 and c2 < 0. c1 = cross(b_s - a_s, b_o - a_s) tests
+        # o against the start link; c2 = cross(b_o - a_o, b_s - a_o) tests
+        # start against o.
         sa_node = a_node[s]
         first_is_start = l12[sa_node, 0] == s
         o_at = np.where(first_is_start, l12[sa_node, 1], l12[sa_node, 0])
@@ -607,16 +803,20 @@ def _fast_contours_batch(
         ) * (lbx[s] - lax[o_at])
         pick_o = np.where(first_is_start, c1 >= 0, (c1 >= 0) & (c2 < 0))
         top = np.where(pick_o, o_at, s)
-        s_top = (lfill[top] & 1) != 0
-        c_top = (lfill[top] & 4) != 0
+        s_top = (lfill[top] & 1) != 0  # SUBJ_TOP
+        c_top = (lfill[top] & 4) != 0  # CLIP_TOP
         hole = rule_inside(s_top, c_top, rule)
         d = hole == clockwise_output
+        # first ring point + starting directed edge
         first_x = np.where(d, lbx[top], lax[top])
         first_y = np.where(d, lby[top], lay[top])
-        cur = np.where(d, 2 * top + 0, 2 * top + 1)
-        lens = ring_len[s]
-    L_max = int(lens.max())
-    nrings = len(s)
+        cur = np.where(d, 2 * top + 0, 2 * top + 1)  # toward a_node when d
+        L_max = int(lens.max())
+    else:
+        hole = np.empty(0, dtype=bool)
+        first_x = first_y = np.empty(0, dtype=np.int64)
+        L_max = 1
+
     # node point lookup (any entry of the node); narrow mode stores coordinates
     # relative to (mnx, mny) in int32 — converted back to per-job int64 after
     # the walk, so downstream (finalize) sees identical values
@@ -632,7 +832,9 @@ def _fast_contours_batch(
 
     buf_x = np.zeros((nrings, L_max), dtype=cdt)
     buf_y = np.zeros((nrings, L_max), dtype=cdt)
-    if L_max <= 64:
+    if nrings == 0:
+        pass
+    elif L_max <= 64:
         # short rings (the common batch shape): per-step column writes
         for step in range(L_max - 1):
             tn = to_node[cur]
@@ -679,9 +881,55 @@ def _fast_contours_batch(
         buf_x = buf_x + (mnx - off[r_slot])[:, None]
         buf_y = np.add(buf_y, mny + y0, dtype=np.int64)
     else:
-        buf_x -= off[r_slot][:, None]
-        buf_y += y0
-    order_r = np.lexsort((s, r_slot))
+        buf_x = buf_x - off[r_slot][:, None]
+        buf_y = buf_y + np.int64(y0)
+    emit_rank = s.astype(np.int64)
+    lens = lens.astype(np.int64)
+
+    # ---- order-sensitive tiles: exact replay of the scalar trigger loop -----
+    if (sim_tile & tile_fast).any():
+        sim = _sim_walk_tiles(
+            np.flatnonzero(sim_tile & tile_fast), tile_fast, link_slot,
+            lax, lay, lbx, lby, a_node, b_node, inv, ends, n_nodes,
+            first_pos, deg, link_of_entry[order],
+            rule_inside((lfill & 1) != 0, (lfill & 4) != 0, rule),
+            clockwise_output, max_ring,
+        )
+        if sim is not None:
+            s_slot, s_rank, s_hole, s_first, s_lens, s_bx, s_by = sim
+            k = len(s_slot)
+            if k:
+                Lm = max(L_max, int(s_lens.max()))
+                if Lm > L_max:
+                    pad = np.zeros((nrings, Lm), dtype=buf_x.dtype)
+                    pad[:, :L_max] = buf_x
+                    buf_x = pad
+                    pad = np.zeros((nrings, Lm), dtype=buf_y.dtype)
+                    pad[:, :L_max] = buf_y
+                    buf_y = pad
+                elif s_bx.shape[1] < Lm:
+                    pad = np.zeros((k, Lm), dtype=np.int64)
+                    pad[:, : s_bx.shape[1]] = s_bx
+                    s_bx = pad
+                    pad = np.zeros((k, Lm), dtype=np.int64)
+                    pad[:, : s_by.shape[1]] = s_by
+                    s_by = pad
+                s_bx = s_bx - off[s_slot][:, None]
+                s_by = s_by + np.int64(y0)
+                r_slot = np.concatenate([r_slot, s_slot])
+                hole = np.concatenate([hole, s_hole])
+                lens = np.concatenate([lens, s_lens])
+                first_x = np.concatenate([first_x, s_first[:, 0] - off[s_slot]])
+                first_y = np.concatenate([first_y, s_first[:, 1] + y0])
+                buf_x = np.concatenate([np.asarray(buf_x, dtype=np.int64), s_bx])
+                buf_y = np.concatenate([np.asarray(buf_y, dtype=np.int64), s_by])
+                emit_rank = np.concatenate([emit_rank, s_rank])
+
+    if len(r_slot) == 0:
+        return tile_fast, None
+    # emission order = scalar trigger order: ascending start link per slot
+    # (sim tiles recorded their replayed trigger rank)
+    order_r = np.lexsort((emit_rank, r_slot))
     ring_data = {
         "slot": r_slot[order_r],
         "hole": hole[order_r],
@@ -787,13 +1035,17 @@ def _finalize_fast(ring_data, options, with_areas: bool = False) -> dict[int, Sh
     return out
 
 
-# The vectorized degree-2 walk trades python time for MEMORY BANDWIDTH: it wins
-# ~12%/core single-threaded but loses the measured 4->16-worker scaling on a
-# single box (0.906 -> 0.743 efficiency: 16 workers' streaming array ops
-# saturate the one shared memory bus, while the scalar walk stays cache-resident).
-# On a multi-executor cluster each node has its own bus, so the fast walk is the
-# right default THERE; on local mode the scaling-measured default is off.
-FAST_EXTRACT_DEFAULT = False
+# The vectorized degree-2 walk trades python time for MEMORY BANDWIDTH. Round 2
+# measured it LOSING the 4->16-worker scaling on this one-bus box (0.906 ->
+# 0.743: 16 workers' int64 streaming ops saturated the shared memory bus) and
+# set the default off. The round-4 int32 narrow mode (ids + span-relative
+# coordinates at half the word size) restores it: audits/walk_scaling_probe.py
+# reads scalar 23.2k/82.5k jobs/s (4/16 procs, eff 0.888) vs fast 34.9k/117.3k
+# (eff 0.840) — the fast walk wins ~42% at BOTH parallelism levels with scaling
+# above the 0.8 bar, so it is the default everywhere. Pinch/crossing tiles
+# (boundary degree > 2) are served by the exact scalar-trigger replay in
+# _sim_walk_tiles rather than the full scalar fallback.
+FAST_EXTRACT_DEFAULT = True
 
 
 def overlay_batch(

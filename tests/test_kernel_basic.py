@@ -351,18 +351,14 @@ def test_fast_walk_contours_matches_scalar():
     )
     assert compare(segs, compute_fills(segs, FillRule.NON_ZERO), OverlayRule.SUBJECT)
 
-    # degree-4 pinch (XOR corner touch) must fall back to the scalar walk
+    # degree-4 pinch (XOR corner touch): the round-4 IN-sector involution
+    # serves it vectorized — must match the scalar walk exactly
     a = np.array([[0, 0], [100, 0], [100, 100], [0, 100]], dtype=np.int64)
     b = np.array([[100, 100], [200, 100], [200, 200], [100, 200]], dtype=np.int64)
     segs = split_segments(
         Segments.concat([build_segments([a], True), build_segments([b], False)])
     )
-    assert (
-        _fast_walk_contours(
-            segs, compute_fills(segs, FillRule.EVEN_ODD), OverlayRule.XOR, False, None
-        )
-        is None
-    )
+    assert compare(segs, compute_fills(segs, FillRule.EVEN_ODD), OverlayRule.XOR)
 
     # random soups across rules
     rng = np.random.default_rng(31)
@@ -379,3 +375,77 @@ def test_fast_walk_contours_matches_scalar():
         fills = compute_fills(segs, FillRule.NON_ZERO)
         for rule in (OverlayRule.UNION, OverlayRule.INTERSECT, OverlayRule.XOR):
             compare(segs, fills, rule)
+
+
+def test_fast_walk_pinch_dense_matches_scalar():
+    """Adversarial differential for the round-4 sim-walk path: grid-aligned
+    rect soups (shared corners => degree-4/6/8 pinch nodes on many tiles) and
+    fans of triangles through one point (a single very-high-degree node). The
+    fast walk must serve these withOUT falling back and emit contours
+    bit-identical to walk_contours (reference trigger order included)."""
+    import numpy as np
+
+    from ioverlay_spark.kernel.extract import _fast_walk_contours, walk_contours
+    from ioverlay_spark.kernel.fill import compute_fills
+    from ioverlay_spark.kernel.segments import Segments, build_segments
+    from ioverlay_spark.kernel.split import split_segments
+    from ioverlay_spark.options import FillRule, OverlayRule
+
+    def compare(segs, fills, rule):
+        fast = _fast_walk_contours(segs, fills, rule, False, None)
+        walk = walk_contours(segs, fills, rule, False)
+        assert fast is not None  # sim path must serve pinch graphs
+        assert len(fast) == len(walk)
+        for a, b in zip(fast, walk):
+            assert [tuple(p) for p in a[0]] == [tuple(p) for p in b[0]]
+            assert a[1] == b[1]
+
+    rng = np.random.default_rng(20260818)
+    for trial in range(60):
+        nr = int(rng.integers(2, 7))
+        rs, rc = [], []
+        for i in range(nr):
+            x0, y0 = (rng.integers(0, 8, 2) * 25).astype(np.int64)
+            w, h = (rng.integers(1, 5, 2) * 25).astype(np.int64)
+            r = np.array(
+                [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]],
+                dtype=np.int64,
+            )
+            (rs if i % 2 == 0 else rc).append(r)
+        if not rc:
+            rc.append(np.array([[0, 0], [25, 0], [25, 25], [0, 25]], dtype=np.int64))
+        segs = split_segments(
+            Segments.concat([build_segments(rs, True), build_segments(rc, False)])
+        )
+        for fr in (FillRule.EVEN_ODD, FillRule.NON_ZERO):
+            fills = compute_fills(segs, fr)
+            for rule in (
+                OverlayRule.XOR,
+                OverlayRule.UNION,
+                OverlayRule.INTERSECT,
+                OverlayRule.DIFFERENCE,
+            ):
+                compare(segs, fills, rule)
+
+    for trial in range(20):
+        k = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        tris = []
+        for a0 in ang:
+            p1 = np.round(200 * np.array([np.cos(a0), np.sin(a0)])).astype(np.int64)
+            p2 = np.round(
+                200 * np.array([np.cos(a0 + 0.3), np.sin(a0 + 0.3)])
+            ).astype(np.int64)
+            tris.append(np.array([[0, 0], list(p1), list(p2)], dtype=np.int64))
+        segs = split_segments(
+            Segments.concat(
+                [
+                    build_segments(tris[::2], True),
+                    build_segments(tris[1::2] or [tris[0]], False),
+                ]
+            )
+        )
+        for fr in (FillRule.EVEN_ODD, FillRule.NON_ZERO):
+            fills = compute_fills(segs, fr)
+            for rule in (OverlayRule.XOR, OverlayRule.UNION):
+                compare(segs, fills, rule)
