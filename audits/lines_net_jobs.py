@@ -13,6 +13,8 @@ import shutil
 import sys
 import time
 
+os.environ["IOVERLAY_AUDIT_JOBDESC"] = "1"
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
@@ -72,6 +74,8 @@ print(f"RESULT n={n} rings={cnt} area_ok={int(a2) == exp} wall={dt:.1f}s", flush
 spark.stop()
 
 starts, ends, descs, ntasks = {}, {}, {}, {}
+stage_job = {}  # stage id -> job id
+stage_metrics = {}  # stage id -> dict of summed task metrics
 paths = [
     p
     for p in glob.glob(os.path.join(LOGDIR, "**", "*"), recursive=True)
@@ -89,26 +93,63 @@ for path in paths:
                 jid = ev["Job ID"]
                 starts[jid] = ev["Submission Time"]
                 props = ev.get("Properties") or {}
-                descs[jid] = (
-                    props.get("spark.job.description")
-                    or props.get("callSite.short")
-                    or "?"
-                )
+                desc = props.get("spark.job.description") or "?"
+                cs = props.get("callSite.short") or ""
+                descs[jid] = f"{desc} | {cs}" if cs else desc
                 ntasks[jid] = sum(
                     s.get("Number of Tasks", 0) for s in ev.get("Stage Infos", [])
                 )
+                for s in ev.get("Stage Infos", []):
+                    stage_job.setdefault(s["Stage ID"], jid)
             elif e == "SparkListenerJobEnd":
                 ends[ev["Job ID"]] = ev["Completion Time"]
+            elif e == "SparkListenerTaskEnd":
+                sid = ev["Stage ID"]
+                m = ev.get("Task Metrics") or {}
+                agg = stage_metrics.setdefault(
+                    sid,
+                    {"run": 0, "cpu": 0, "deser": 0, "ser": 0, "gc": 0,
+                     "sh_w_b": 0, "sh_r_b": 0, "sh_fetch": 0, "sh_wt": 0,
+                     "tasks": 0},
+                )
+                agg["tasks"] += 1
+                agg["run"] += m.get("Executor Run Time", 0)
+                agg["cpu"] += m.get("Executor CPU Time", 0) // 1_000_000
+                agg["deser"] += m.get("Executor Deserialize Time", 0)
+                agg["ser"] += m.get("Result Serialization Time", 0)
+                agg["gc"] += m.get("JVM GC Time", 0)
+                sw = m.get("Shuffle Write Metrics") or {}
+                agg["sh_w_b"] += sw.get("Shuffle Bytes Written", 0)
+                agg["sh_wt"] += sw.get("Shuffle Write Time", 0) // 1_000_000
+                sr = m.get("Shuffle Read Metrics") or {}
+                agg["sh_r_b"] += sr.get("Remote Bytes Read", 0) + sr.get(
+                    "Local Bytes Read", 0
+                )
+                agg["sh_fetch"] += sr.get("Fetch Wait Time", 0)
 
 rows = []
 for jid in sorted(starts):
     wall = (ends.get(jid, starts[jid]) - starts[jid]) / 1000.0
     rows.append((jid, wall, ntasks.get(jid, 0), descs.get(jid, "?")))
+# the description persists across the pipeline's own jobs, so the FIRST
+# marker job is the range(1) sentinel and everything after it (marker desc
+# included) is pipeline work until the description resets to a callsite
 marker = [r for r in rows if "PIPELINE START" in r[3]]
 if marker:
-    cut = marker[-1][0]
+    cut = marker[0][0]
     rows = [r for r in rows if r[0] > cut]
 tot = sum(r[1] for r in rows)
 print(f"jobs={len(rows)} sum_job_wall={tot:.1f}s")
+kept = {r[0] for r in rows}
 for jid, wall, nt, d in rows:
     print(f"  job {jid:3d} {wall:7.2f}s tasks={nt:4d} {d[:110]}")
+    for sid in sorted(s for s, j in stage_job.items() if j == jid):
+        m = stage_metrics.get(sid)
+        if not m or m["run"] < 300:
+            continue
+        print(
+            f"    stage {sid:3d} tasks={m['tasks']:4d} run={m['run']/1e3:6.1f}s"
+            f" cpu={m['cpu']/1e3:6.1f}s deser={m['deser']/1e3:5.1f}s"
+            f" gc={m['gc']/1e3:4.1f}s shW={m['sh_w_b']/1e6:6.0f}MB/{m['sh_wt']/1e3:4.1f}s"
+            f" shR={m['sh_r_b']/1e6:6.0f}MB fetch={m['sh_fetch']/1e3:4.1f}s"
+        )

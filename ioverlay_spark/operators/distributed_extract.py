@@ -791,6 +791,9 @@ def extract_shapes_df(
     cmax_hint: an UPPER BOUND on |coordinates| when the caller knows one (the
     overlay pipeline's global bbox — splitting never leaves it); saves the
     per-row max scan in the metadata job (count-only agg instead)."""
+    from ..session import audit_desc
+
+    audit_desc(fills.sparkSession, "fill+boundary:ckpt")
     b = (
         (fills if pre_filtered else boundary_segments_df(fills, rule))
         # extraction reads only coordinates + fill bits: prune before the
@@ -811,9 +814,11 @@ def extract_shapes_df(
         n_edges = n_edges_hint
         cmax = cmax_hint
     elif cmax_hint is not None:
+        audit_desc(fills.sparkSession, "extract:count")
         n_edges = b.count()
         cmax = cmax_hint
     else:
+        audit_desc(fills.sparkSession, "extract:meta")
         meta = b.agg(
             F.max(
                 F.greatest(
@@ -838,6 +843,7 @@ def extract_shapes_df(
             if chunks:
                 yield from kern(pa.Table.from_batches(chunks)).to_batches()
 
+        audit_desc(fills.sparkSession, "extract:fused walk+ckpt")
         rings = (
             # repartition(1), not coalesce(1): measured equal-or-faster (the
             # 64-way shuffle write parallelizes; coalesce serializes the block
@@ -873,6 +879,7 @@ def extract_shapes_df(
             .drop("node", "u")
         )
     n_part = int(fills.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    audit_desc(fills.sparkSession, "extract:salted walk+ckpt")
     rings = (
         # salt components into a BOUNDED number of groups (per-group Arrow
         # overhead x millions of tiny components would dominate otherwise);
@@ -888,8 +895,11 @@ def extract_shapes_df(
 def _bind_and_project(rings: DataFrame) -> DataFrame:
     """Shared tail of both extract plans: hole->hull binding + final shape-id
     projection over the checkpointed raw rings."""
+    from ..session import audit_desc
+
     hulls = rings.where(~F.col("is_hole"))
     holes = rings.where(F.col("is_hole"))
+    audit_desc(rings.sparkSession, "extract:holes probe")
     if holes.isEmpty():
         return rings.select(
             F.col("ring_id").alias("shape_id"), "ring_id", "is_hole", "pts_x", "pts_y", "area2"

@@ -54,6 +54,16 @@ def ship_package(spark: SparkSession) -> None:
     sc._ioverlay_shipped = True
 
 
+def audit_desc(spark: SparkSession, label: str) -> None:
+    """Name the NEXT Spark jobs for event-log audits (audits/lines_net_jobs.py).
+
+    No-op unless IOVERLAY_AUDIT_JOBDESC is set: job descriptions are
+    driver-global state, so the library only touches them when an audit
+    explicitly asks for stage attribution."""
+    if os.environ.get("IOVERLAY_AUDIT_JOBDESC"):
+        spark.sparkContext.setJobDescription(label)
+
+
 def get_spark(
     cpus: int | str = "*",
     shuffle_partitions: int | None = None,
