@@ -768,8 +768,12 @@ def bind_holes_df(hulls: DataFrame, holes: DataFrame, n_bands: int = 256) -> Dat
 
 # one fused task at 8M edges holds ~500MB of working arrays (input columns +
 # node ids + labels + ring buffers) — comfortably inside one executor; beyond
-# it the broadcast-CC (<=4M comp map) and iterative-CC plans take over
+# it the broadcast-CC (<=_CC_LOCAL_EDGES comp map) and iterative-CC plans
+# take over
 _FUSED_EXTRACT_CAP = int(os.environ.get("SPARK_GRAFT_FUSED_EXTRACT_EDGES", "8000000"))
+# edge count up to which CC runs as ONE union-find task and its comp map is
+# broadcast back (the map is <= 2 longs per edge: ~16 bytes/edge)
+_CC_LOCAL_EDGES = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "4000000"))
 
 
 def extract_shapes_df(
@@ -853,13 +857,15 @@ def extract_shapes_df(
             .localCheckpoint(eager=True)
         )
         return _bind_and_project(rings)
-    # matches connected_components' local_threshold: the single-task union-find
-    # at 4M edges is a ~300MB working set (8M node ids + labels), well inside
-    # one executor, and its comp map (~64MB) is still broadcast-friendly
-    small_cc = n_edges <= 4_000_000
+    # matches the CC dispatch below: the single-task union-find at 4M edges is
+    # a ~300MB working set (8M node ids + labels), well inside one executor,
+    # and its comp map (~64MB) is still broadcast-friendly
+    small_cc = n_edges <= _CC_LOCAL_EDGES
     if cmax is not None and int(cmax) >= _NODE_CAP:
         bb = _wide_node_ids(b)
-        comp = connected_components(bb.select("u", "v"), count_hint=n_edges)
+        comp = connected_components(
+            bb.select("u", "v"), local_threshold=_CC_LOCAL_EDGES, count_hint=n_edges
+        )
         if small_cc:
             comp = F.broadcast(comp)
         labeled = bb.join(comp, on=bb["u"] == comp["node"]).drop("node", "u", "v")
@@ -867,7 +873,9 @@ def extract_shapes_df(
         edges = b.select(
             _node_expr("ax", "ay").alias("u"), _node_expr("bx", "by").alias("v")
         )
-        comp = connected_components(edges, count_hint=n_edges)
+        comp = connected_components(
+            edges, local_threshold=_CC_LOCAL_EDGES, count_hint=n_edges
+        )
         if small_cc:
             # the single-task CC output is at most 2x the edge bound — small
             # enough to broadcast, which keeps the boundary set map-side (its
