@@ -62,6 +62,19 @@ def test_strip_rank_sql_matches_model_and_is_monotone(spark, n_edges):
     assert got.min() >= 0 and got.max() <= len(edges)
 
 
+@pytest.mark.parametrize("n_edges", [63, 255, 1023])
+def test_strip_rank_expr_stays_jit_sized(n_edges):
+    """Tripwire for the HotSpot JIT cliff (BENCH.md round 4 third pass): a
+    single nested-IF tree past ~60 IF nodes exceeds the huge-method limit and
+    the generated Java runs INTERPRETED (~10x per row). Every inlined coarse
+    tree must stay <= 15 IFs; the whole two-level expression inlines the
+    coarse tree at most 4 times."""
+    from ioverlay_spark.operators.distributed import _strip_rank_expr
+
+    expr = _strip_rank_expr("v", list(range(n_edges)), -10, n_edges + 10)
+    assert expr.count("IF(") <= 15 * 4
+
+
 def test_distributed_fills_two_level_strips_match_kernel(spark):
     """n_strips=64 -> 63 edges -> the two-level path; fills must still be
     exact (the strip kernel sees every segment crossing each strip)."""
