@@ -50,6 +50,11 @@ def build_graph(
     return OverlayGraph(segs, fills, options)
 
 
+# one-shot jobs with at least this many rings try spatial cluster
+# decomposition (kernel/cluster.py) before the monolithic pipeline.
+CLUSTER_MIN_RINGS = 256
+
+
 def overlay(
     subj: list[np.ndarray],
     clip: list[np.ndarray],
@@ -57,7 +62,26 @@ def overlay(
     fill_rule: FillRule = FillRule.EVEN_ODD,
     options: OverlayOptions = DEFAULT_OPTIONS,
 ) -> Shapes:
-    """One-shot boolean overlay of two multipolygons (integer coordinates)."""
+    """One-shot boolean overlay of two multipolygons (integer coordinates).
+
+    Large separable jobs (many contours whose bbox-overlap graph splits into
+    independent components — disjoint islands) are decomposed and routed
+    through the batched tile kernel, which is exactly equivalent (see
+    kernel/cluster.py for the proof sketch) and orders of magnitude faster
+    than one monolithic fixpoint over the union of all islands."""
+    if len(subj) + len(clip) >= CLUSTER_MIN_RINGS:
+        from .cluster import cluster_jobs
+
+        decomp = cluster_jobs(subj, clip)
+        if decomp is not None:
+            jobs, _ = decomp
+            from .batch import overlay_batch
+
+            results = overlay_batch(jobs, [rule], fill_rule, options)
+            out: Shapes = []
+            for res in results:
+                out.extend(res[rule])
+            return out
     return build_graph(subj, clip, fill_rule, options).extract(rule)
 
 
