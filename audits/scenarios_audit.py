@@ -108,9 +108,10 @@ def run_scalar(name: str, ns: list[int], reps: int):
         )
 
 
-def run_spark(name: str, ns: list[int], reps: int):
+def run_spark(name: str, ns: list[int], reps: int, monolithic: bool = False):
     from pyspark.sql import SparkSession
 
+    from ioverlay_spark.operators.cluster_overlay import cluster_overlay
     from ioverlay_spark.operators.distributed import (
         contours_to_segments_df,
         distributed_overlay,
@@ -139,29 +140,41 @@ def run_spark(name: str, ns: list[int], reps: int):
         s1 = overlay(*scenarios.wind_mill(1), RULES[name], FillRule.NON_ZERO)
         base_cell = sum(ring_area2(r) for sh in s1 for r in sh)
 
+    import pyarrow as pa
+
     for n in ns:
         subj, clip = build_int_inputs(name, n)
         npolys = len(subj) + len(clip)
-        rows = [
-            ("subject", i, r[:, 0].tolist(), r[:, 1].tolist()) for i, r in enumerate(subj)
-        ] + [
-            ("clip", len(subj) + i, r[:, 0].tolist(), r[:, 1].tolist())
-            for i, r in enumerate(clip)
-        ]
-        df = spark.createDataFrame(rows, ["role", "cid", "pts_x", "pts_y"]).localCheckpoint(
-            eager=True
+        rings = subj + clip
+        counts = np.fromiter((len(r) for r in rings), dtype=np.int64, count=npolys)
+        offs = np.zeros(npolys + 1, dtype=np.int32)
+        np.cumsum(counts, out=offs[1:])
+        P = np.concatenate(rings)
+        tbl = pa.table(
+            {
+                "role": pa.array(["subject"] * len(subj) + ["clip"] * len(clip)),
+                "cid": pa.array(np.arange(npolys, dtype=np.int64)),
+                "pts_x": pa.ListArray.from_arrays(pa.array(offs), pa.array(P[:, 0].copy())),
+                "pts_y": pa.ListArray.from_arrays(pa.array(offs), pa.array(P[:, 1].copy())),
+            }
         )
+        df = spark.createDataFrame(tbl).localCheckpoint(eager=True)
         best, count, area2 = float("inf"), 0, 0
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = distributed_overlay(
-                contours_to_segments_df(spark, df),
-                RULES[name],
-                FillRule.NON_ZERO,
-                force_distributed=True,
-            )
+            if monolithic:
+                out = distributed_overlay(
+                    contours_to_segments_df(spark, df),
+                    RULES[name],
+                    FillRule.NON_ZERO,
+                    force_distributed=True,
+                )
+                shapes_expr = "count(distinct shape_id) AS shapes"
+            else:
+                out = cluster_overlay(df, RULES[name], FillRule.NON_ZERO)
+                shapes_expr = "count(distinct cluster_id, shape_id) AS shapes"
             agg = out.selectExpr(
-                "count(*) AS rings", "sum(area2) AS area2", "count(distinct shape_id) AS shapes"
+                "count(*) AS rings", "sum(area2) AS area2", shapes_expr
             ).first()
             best = min(best, time.perf_counter() - t0)
             count, area2 = agg["shapes"], int(agg["area2"])
@@ -180,6 +193,7 @@ def run_spark(name: str, ns: list[int], reps: int):
 def main():
     args = [a for a in sys.argv[1:]]
     use_spark = "--spark" in args
+    monolithic = "--monolithic" in args
     reps = 2
     if "--reps" in args:
         reps = int(args[args.index("--reps") + 1])
@@ -188,8 +202,10 @@ def main():
     names = [a for a in args if not a.isdigit()] or list(RULES)
     ns = [int(a) for a in args if a.isdigit()]
     for name in names:
-        runner = run_spark if use_spark else run_scalar
-        runner(name, ns or DEFAULT_NS[name], reps)
+        if use_spark:
+            run_spark(name, ns or DEFAULT_NS[name], reps, monolithic=monolithic)
+        else:
+            run_scalar(name, ns or DEFAULT_NS[name], reps)
 
 
 if __name__ == "__main__":

@@ -34,7 +34,7 @@ import numpy as np
 
 # bail out of clustering when the per-cell pairing would materialize more than
 # this many candidate pairs — the geometry is not separable enough to pay off.
-PAIR_BUDGET = 8_000_000
+PAIR_BUDGET = 32_000_000
 
 
 def ring_bboxes(rings: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -73,27 +73,41 @@ def cluster_labels(
     cx1 = maxx // g
     cy0 = miny // g
     cy1 = maxy // g
+    xoff, yoff = int(cx0.min()), int(cy0.min())
     rid_parts = []
     key_parts = []
     # <=4 cover cells per ring: (x0|x1) x (y0|y1); dedupe via the dx/dy masks
     base = np.arange(n, dtype=np.int64)
     for dx in (0, 1):
-        selx = np.where(dx == 0, True, cx1 > cx0)
-        cx = np.where(dx == 0, cx0, cx1)
+        selx = np.ones(n, dtype=bool) if dx == 0 else (cx1 > cx0)
+        cx = cx0 if dx == 0 else cx1
         for dy in (0, 1):
-            sely = np.where(dy == 0, True, cy1 > cy0)
+            sely = np.ones(n, dtype=bool) if dy == 0 else (cy1 > cy0)
             m = selx & sely
             if not m.any():
                 continue
-            cy = np.where(dy == 0, cy0, cy1)
+            cy = cy0 if dy == 0 else cy1
             rid_parts.append(base[m])
             # pack (cx, cy) into one int64 key; coords / g fit well under 2^31
-            key_parts.append(((cx[m] - cx0.min()) << np.int64(32)) | (cy[m] - cy0.min()))
+            key_parts.append(((cx[m] - xoff) << np.int64(32)) | (cy[m] - yoff))
     rid = np.concatenate(rid_parts)
     key = np.concatenate(key_parts)
-    order = np.argsort(key, kind="stable")
-    key = key[order]
-    rid = rid[order]
+    # sort cover entries by cell: pack (key, rid) into one int64 for a direct
+    # sort (no indirection — ~7x an argsort) whenever the spans fit; the key's
+    # per-cell order of rids is irrelevant beyond determinism
+    xbits = max((int(cx1.max()) - xoff + 1).bit_length(), 1)
+    ybits = max((int(cy1.max()) - yoff + 1).bit_length(), 1)
+    rbits = max(int(n).bit_length(), 1)
+    if xbits + ybits + rbits <= 63:
+        # repack tight: ((cx' << ybits) | cy') << rbits | rid
+        tight = ((key >> np.int64(32)) << np.int64(ybits)) | (key & np.int64(0xFFFFFFFF))
+        packed = np.sort((tight << np.int64(rbits)) | rid)
+        rid = packed & np.int64((1 << rbits) - 1)
+        key = packed >> np.int64(rbits)
+    else:
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        rid = rid[order]
     # run lengths per cell
     boundary = np.empty(len(key), dtype=bool)
     boundary[0] = True
