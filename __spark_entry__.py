@@ -79,10 +79,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # in r03) moves INTO the checked window; seven queries that passed
 # rows+schema+hash in r03 (CORRECTNESS_r03.json) take the tail, so after r04
 # every registered query has a green driver row in r03 or r04.
-# (57 registered, cap 50 -> 7 tail rows, all of them green in r03)
+# (58 registered after round-4's cluster_overlay_union, cap 50 -> 8 tail rows,
+# all of them green in r03)
 _TAIL = [
     "knn", "embed_knn", "embed_neardup", "ngram_jaccard",
-    "lang_stats", "simhash", "token_stats",
+    "lang_stats", "simhash", "token_stats", "knn_grid",
 ]
 
 

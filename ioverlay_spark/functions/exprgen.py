@@ -92,3 +92,33 @@ def cell_xy_exprs(x_col: str, y_col: str, level: int, dialect: str) -> tuple[str
 
 def morton_from_cxcy(cx_col: str, cy_col: str, level: int, dialect: str) -> str:
     return f"({spread_bits(cx_col, level, dialect)} + {_shl(spread_bits(cy_col, level, dialect), 1, dialect)})"
+
+
+# --- island pairs for the cluster_overlay driver query ---------------------------
+
+def island_rect_exprs(id_col: str, dialect: str) -> dict[str, str]:
+    """Two overlapping rectangles per document on a 16384-spaced island grid.
+
+    Island (doc) contents stay within ~10.6k of the island origin while islands
+    sit 16384 apart, so every document is its own bbox-overlap cluster and the
+    two rects (r2 = r1 shifted by (w>>1, h>>1)) always overlap — union is ONE
+    ring with closed-form area 2*w*h - ceil(w/2)*ceil(h/2)."""
+    i = bigint(id_col, dialect)
+    ox = f"(({i} % 1024) * 16384)"
+    oy = f"(({i} / 1024) * 16384)" if dialect == "duckdb" else f"(CAST({i} / 1024 AS BIGINT) * 16384)"
+    if dialect == "duckdb":
+        oy = f"(({i} // 1024) * 16384)"
+    x1 = f"({ox} + (({i} * 2654435761) % 4096))"
+    y1 = f"({oy} + ((({i} * 40503) + 99991) % 4096))"
+    w = f"(256 + (({i} * 97) % 4096))"
+    h = f"(256 + (({i} * 193) % 4096))"
+    w2 = _shr(w, 1, dialect)
+    h2 = _shr(h, 1, dialect)
+    return {
+        "x1": x1, "y1": y1, "w": w, "h": h,
+        "x2": f"({x1} + {w})", "y2": f"({y1} + {h})",
+        "bx1": f"({x1} + {w2})", "by1": f"({y1} + {h2})",
+        "bx2": f"({x1} + {w2} + {w})", "by2": f"({y1} + {h2} + {h})",
+        # union area2 = 2*(2wh - ceil(w/2)*ceil(h/2)); ceil via w - (w>>1)
+        "union_area2": f"(2 * (2 * {w} * {h} - ({w} - {w2}) * ({h} - {h2})))",
+    }

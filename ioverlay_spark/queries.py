@@ -1360,6 +1360,59 @@ SELECT vec_id, neighbor_id, rnk FROM (
     return QuerySpec(spark=spark_fn, oracle=oracle)
 
 
+@_register("cluster_overlay_union")
+def _q_cluster_overlay_union():
+    """Spatial-cluster decomposition overlay (operators/cluster_overlay.py):
+    every document is an island of two overlapping rects 16384 apart from its
+    neighbours, so clustering yields exactly one cluster per doc and the UNION
+    is one ring of closed-form area (exprgen.island_rect_exprs)."""
+
+    def spark_fn(spark, sf_dir):
+        from .functions.exprgen import island_rect_exprs
+        from .operators.cluster_overlay import cluster_overlay
+
+        r = island_rect_exprs("doc_id", "spark")
+
+        def ring(x1, y1, x2, y2):
+            return (
+                f"array({x1}, {x1}, {x2}, {x2}) AS pts_x",
+                f"array({y1}, {y2}, {y2}, {y1}) AS pts_y",
+            )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ax, ay = ring(r["x1"], r["y1"], r["x2"], r["y2"])
+        bx, by = ring(r["bx1"], r["by1"], r["bx2"], r["by2"])
+        subj = docs.selectExpr(
+            "'subject' AS role", "CAST(doc_id * 2 AS BIGINT) AS cid", ax, ay
+        )
+        clip = docs.selectExpr(
+            "'clip' AS role", "CAST(doc_id * 2 + 1 AS BIGINT) AS cid", bx, by
+        )
+        out = cluster_overlay(subj.unionAll(clip), "union", "non_zero")
+        return (
+            out.groupBy("cluster_id")
+            .agg(
+                F.count("*").cast("long").alias("rings"),
+                F.sum("area2").cast("long").alias("area2"),
+            )
+            .selectExpr(
+                "CAST(cluster_id / 2 AS BIGINT) AS doc_id", "rings", "area2"
+            )
+            .orderBy("doc_id")
+        )
+
+    from .functions.exprgen import island_rect_exprs as _ire
+
+    rd = _ire("doc_id", "duckdb")
+    oracle = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(1 AS BIGINT) AS rings,
+       CAST({rd['union_area2']} AS BIGINT) AS area2
+FROM documents ORDER BY doc_id
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
 # extension queries (text analytics, embedding similarity, remaining geometry
 # surfaces) register themselves into REGISTRY on import
 from . import queries_ext  # noqa: E402,F401  (intentional bottom import)
