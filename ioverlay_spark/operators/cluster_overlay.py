@@ -19,8 +19,10 @@ relational patterns:
                                                            below the threshold,
                                                            alternating stars
                                                            above)
-           --groupBy(cluster) . applyInPandas-->         (overlay_pairs, the
-                                                           flagship worker)
+           --repartition(cluster) . mapInArrow-->        (overlay_grouped_rows,
+                                                           the flagship batch
+                                                           worker on the flat
+                                                           Arrow ring layout)
 
 Clusters whose total point count exceeds `giant_points_cap` are routed through
 the monolithic distributed_overlay pipeline instead (the split fixpoint /
@@ -38,7 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..options import DEFAULT_OPTIONS, FillRule, OverlayOptions, OverlayRule
 from .distributed_extract import connected_components
-from .overlay_df import overlay_pairs
+from .overlay_df import overlay_grouped_rows
 
 # cells holding more than this many contours take the star-guard path (anchor
 # edges instead of all-pairs) — over-merging dense regions into one cluster is
@@ -233,7 +235,7 @@ def cluster_overlay(
     if n_labels <= 8_000_000:
         small_labels = F.broadcast(small_labels)
     smalls = src.join(small_labels, "cid")
-    out = overlay_pairs(
+    out = overlay_grouped_rows(
         smalls.select(
             F.col("cluster").alias("pair_id"), "role", "pts_x", "pts_y"
         ),

@@ -279,3 +279,130 @@ def overlay_rows(
             )
 
     return rows.mapInArrow(kernel, schema=SHAPES_OUT_SCHEMA)
+
+
+def overlay_grouped_rows(
+    rows: DataFrame,
+    rules: list[str | OverlayRule],
+    fill_rule: str | FillRule = FillRule.EVEN_ODD,
+    options: OverlayOptions = DEFAULT_OPTIONS,
+    parts: int | None = None,
+) -> DataFrame:
+    """overlay_pairs semantics over (pair_id, role, pts_x, pts_y) rows, but on
+    the FLAT Arrow path (the overlay_rows treatment for multi-row jobs): one
+    repartition co-locates each pair, then a mapInArrow kernel feeds the list
+    columns' offsets+values straight into overlay_batch_flat — no per-row
+    python job assembly, no pandas object arrays. Bit-identical results to
+    overlay_pairs (same kernel underneath); used by cluster_overlay where a
+    job is a spatial cluster of many contours."""
+    from ..session import ship_package
+
+    ship_package(rows.sparkSession)
+    rule_objs = [OverlayRule(r) for r in rules]
+    fr = FillRule(fill_rule)
+    if parts is None:
+        try:
+            parts = max(2, int(rows.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+        except Exception:
+            parts = 64
+
+    def kernel(it):
+        import pyarrow as pa
+
+        from ..kernel.batch import overlay_batch_flat
+
+        rule_vals = [r.value for r in rule_objs]
+        batches = list(it)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+
+        def flat(name):
+            col = tbl.column(name).chunk(0) if tbl.column(name).num_chunks else None
+            if col is None:
+                return np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.int64)
+            if col.null_count:
+                raise ValueError(f"overlay_grouped_rows: null {name} ring")
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            vals = np.asarray(col.values, dtype=np.int64)
+            if offs[0] != 0 or offs[-1] != len(vals):
+                vals = vals[offs[0]:offs[-1]]
+                offs = offs - offs[0]
+            return offs, vals
+
+        pids = tbl.column("pair_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        n = len(pids)
+        if n == 0:
+            return
+        role = tbl.column("role").to_numpy(zero_copy_only=False)
+        x_off, vx = flat("pts_x")
+        y_off, vy = flat("pts_y")
+        if not np.array_equal(x_off, y_off):
+            raise ValueError("overlay_grouped_rows: x/y ring length mismatch")
+        counts = np.diff(x_off)
+
+        order = np.argsort(pids, kind="stable")
+        pids_s = pids[order]
+        counts_s = counts[order]
+        starts_s = x_off[:-1][order]
+        total = int(counts_s.sum())
+        # flat gather of the rings in job-sorted order
+        seg_starts = np.zeros(len(counts_s), dtype=np.int64)
+        np.cumsum(counts_s[:-1], out=seg_starts[1:])
+        idx = np.repeat(starts_s - seg_starts, counts_s) + np.arange(total, dtype=np.int64)
+        P = np.empty((total, 2), dtype=np.int64)
+        P[:, 0] = vx[idx]
+        P[:, 1] = vy[idx]
+
+        job_boundary = np.empty(n, dtype=bool)
+        job_boundary[0] = True
+        np.not_equal(pids_s[1:], pids_s[:-1], out=job_boundary[1:])
+        ring_job = np.cumsum(job_boundary) - 1
+        job_pid = pids_s[job_boundary]
+        nj = len(job_pid)
+        ring_subj = (role[order] == "subject")
+
+        res = overlay_batch_flat(
+            P, counts_s, ring_job, np.asarray(ring_subj, dtype=bool), nj,
+            rule_objs, fr, options, with_areas=True,
+        )
+        op, orr, osid, ocid, oa = [], [], [], [], []
+        rxs, rys, lens = [], [], []
+        for pid, r in zip(job_pid, res):
+            for ri, rule in enumerate(rule_objs):
+                shapes, areas = r[rule]
+                for sid, (shape, s_areas) in enumerate(zip(shapes, areas)):
+                    for cid, (ring, a2) in enumerate(zip(shape, s_areas)):
+                        op.append(pid)
+                        orr.append(rule_vals[ri])
+                        osid.append(sid)
+                        ocid.append(cid)
+                        rxs.append(ring[:, 0])
+                        rys.append(ring[:, 1])
+                        lens.append(len(ring))
+                        oa.append(a2)
+        m = len(op)
+        offs_out = np.zeros(m + 1, dtype=np.int32)
+        if m:
+            np.cumsum(lens, out=offs_out[1:])
+        ovx = np.concatenate(rxs) if m else np.empty(0, dtype=np.int64)
+        ovy = np.concatenate(rys) if m else np.empty(0, dtype=np.int64)
+        po = pa.array(offs_out)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.asarray(op, dtype=np.int64)),
+                pa.array(orr, type=pa.string()),
+                pa.array(np.asarray(osid, dtype=np.int64)),
+                pa.array(np.asarray(ocid, dtype=np.int32)),
+                pa.ListArray.from_arrays(po, pa.array(np.ascontiguousarray(ovx))),
+                pa.ListArray.from_arrays(po, pa.array(np.ascontiguousarray(ovy))),
+                pa.array(np.asarray(oa, dtype=np.int64)),
+            ],
+            names=["pair_id", "rule", "shape_id", "contour_idx", "pts_x", "pts_y", "area2"],
+        )
+
+    return (
+        rows.select("pair_id", "role", "pts_x", "pts_y")
+        .repartition(parts, "pair_id")
+        .mapInArrow(kernel, schema=SHAPES_OUT_SCHEMA)
+    )

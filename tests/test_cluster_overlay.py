@@ -97,3 +97,36 @@ def test_cluster_labels_df_windows(spark):
     # each frame + its cutout is one 2-contour cluster
     assert len(by_cluster) == 64
     assert all(len(v) == 2 for v in by_cluster.values())
+
+
+def test_overlay_grouped_rows_matches_overlay_pairs(spark):
+    # the flat-Arrow grouped path is bit-identical to the applyInPandas
+    # grouped path (same kernel underneath)
+    from ioverlay_spark.operators.overlay_df import overlay_grouped_rows, overlay_pairs
+    from ioverlay_spark.options import OverlayRule
+
+    subj, clip = scenarios.windows(6)
+    rows = []
+    for i, r in enumerate(subj):
+        rows.append((i % 9, "subject", r[:, 0].tolist(), r[:, 1].tolist()))
+    for i, r in enumerate(clip):
+        rows.append((i % 9, "clip", r[:, 0].tolist(), r[:, 1].tolist()))
+    df = spark.createDataFrame(rows, ["pair_id", "role", "pts_x", "pts_y"])
+
+    def canon_rows(collected):
+        return sorted(
+            (r.pair_id, r.rule, r.shape_id, r.contour_idx, tuple(r.pts_x), tuple(r.pts_y), r.area2)
+            for r in collected
+        )
+
+    got = canon_rows(
+        overlay_grouped_rows(df, [OverlayRule.DIFFERENCE], FillRule.NON_ZERO).collect()
+    )
+    exp = canon_rows(
+        overlay_pairs(
+            df.selectExpr("pair_id", "role", "CAST(0 AS BIGINT) shape_id",
+                          "CAST(0 AS INT) contour_idx", "pts_x", "pts_y"),
+            [OverlayRule.DIFFERENCE], FillRule.NON_ZERO,
+        ).collect()
+    )
+    assert got == exp and len(got) > 0
