@@ -239,3 +239,27 @@ def test_strip_assignment_has_no_interpreted_filter(spark):
     # exactly one python node (the strip-fill kernel itself); the strip index
     # must not add an ArrowEvalPython ahead of the shuffle
     assert phys.count("EvalPython") <= 1, phys
+
+
+def test_cluster_overlay_plan_shape(spark):
+    # the smalls pipeline: label attach must be a BROADCAST join (geometry
+    # never shuffles to get its label) and the only geometry Exchange is the
+    # single hash repartition by cluster feeding the mapInArrow worker
+    from ioverlay_spark.operators.cluster_overlay import cluster_overlay
+    from ioverlay_spark import scenarios
+
+    subj, clip = scenarios.windows(6)
+    rows = [("subject", i, r[:, 0].tolist(), r[:, 1].tolist()) for i, r in enumerate(subj)]
+    rows += [
+        ("clip", len(subj) + i, r[:, 0].tolist(), r[:, 1].tolist())
+        for i, r in enumerate(clip)
+    ]
+    df = spark.createDataFrame(rows, ["role", "cid", "pts_x", "pts_y"])
+    out = cluster_overlay(df, "difference", "non_zero")
+    p = plan_str(out)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # exactly one shuffle: hashpartitioning by pair_id into the arrow kernel
+    exchanges = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1, exchanges
+    assert "pair_id" in exchanges[0]
