@@ -848,11 +848,25 @@ def extract_shapes_df(
                 yield from kern(pa.Table.from_batches(chunks)).to_batches()
 
         audit_desc(fills.sparkSession, "extract:fused walk+ckpt")
+        # narrow the single-task transfer: the shuffle read + Arrow IPC into
+        # the one python worker serialize on its core, so bytes are wall-clock
+        # there. Coordinates fit int32 whenever the known cap allows (cmax is
+        # exact or an upper bound) and fill is 4 bits; _col_np upcasts back to
+        # int64/uint8 in-kernel, so the kernel math is unchanged.
+        bn = b
+        if cmax is not None and int(cmax) < (1 << 31) - 1:
+            bn = b.select(
+                F.col("ax").cast("int").alias("ax"),
+                F.col("ay").cast("int").alias("ay"),
+                F.col("bx").cast("int").alias("bx"),
+                F.col("by").cast("int").alias("by"),
+                F.col("fill").cast("tinyint").alias("fill"),
+            )
         rings = (
             # repartition(1), not coalesce(1): measured equal-or-faster (the
             # 64-way shuffle write parallelizes; coalesce serializes the block
             # reads into the one task) and it cannot infect upstream lineage
-            b.repartition(1)
+            bn.repartition(1)
             .mapInArrow(it, schema=RINGS_SCHEMA)
             .localCheckpoint(eager=True)
         )
