@@ -776,6 +776,24 @@ _FUSED_EXTRACT_CAP = int(os.environ.get("SPARK_GRAFT_FUSED_EXTRACT_EDGES", "8000
 _CC_LOCAL_EDGES = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "4000000"))
 
 
+def _narrow_boundary(b: DataFrame, cmax) -> DataFrame:
+    """Narrow the fused single-task transfer: the shuffle read + Arrow IPC
+    into the one python worker serialize on its core, so bytes there are
+    wall-clock. Coordinates fit int32 whenever the known cap allows (cmax is
+    exact or an upper bound) and fill is 4 bits; _col_np upcasts back to
+    int64/uint8 in-kernel, so the kernel math is unchanged (A/B: ~33% off the
+    n=1024 lines_net fused stage minima, BENCH.md round-4 fifth pass)."""
+    if cmax is None or int(cmax) >= (1 << 31) - 1:
+        return b
+    return b.select(
+        F.col("ax").cast("int").alias("ax"),
+        F.col("ay").cast("int").alias("ay"),
+        F.col("bx").cast("int").alias("bx"),
+        F.col("by").cast("int").alias("by"),
+        F.col("fill").cast("tinyint").alias("fill"),
+    )
+
+
 def extract_shapes_df(
     fills: DataFrame,
     rule: OverlayRule,
@@ -848,20 +866,7 @@ def extract_shapes_df(
                 yield from kern(pa.Table.from_batches(chunks)).to_batches()
 
         audit_desc(fills.sparkSession, "extract:fused walk+ckpt")
-        # narrow the single-task transfer: the shuffle read + Arrow IPC into
-        # the one python worker serialize on its core, so bytes are wall-clock
-        # there. Coordinates fit int32 whenever the known cap allows (cmax is
-        # exact or an upper bound) and fill is 4 bits; _col_np upcasts back to
-        # int64/uint8 in-kernel, so the kernel math is unchanged.
-        bn = b
-        if cmax is not None and int(cmax) < (1 << 31) - 1:
-            bn = b.select(
-                F.col("ax").cast("int").alias("ax"),
-                F.col("ay").cast("int").alias("ay"),
-                F.col("bx").cast("int").alias("bx"),
-                F.col("by").cast("int").alias("by"),
-                F.col("fill").cast("tinyint").alias("fill"),
-            )
+        bn = _narrow_boundary(b, cmax)
         rings = (
             # repartition(1), not coalesce(1): measured equal-or-faster (the
             # 64-way shuffle write parallelizes; coalesce serializes the block

@@ -401,3 +401,22 @@ def test_distributed_extract_wide_coordinates(spark, off):
     assert got == exp
     hull_ids = set(out.loc[~out["is_hole"], "ring_id"])
     assert set(out.loc[out["is_hole"], "shape_id"]).issubset(hull_ids)
+
+
+def test_narrow_boundary_schema(spark):
+    """Tripwire for the fused-transfer narrowing (BENCH.md round-4 fifth pass):
+    below the int32 cap the single-task transfer must carry int coords +
+    tinyint fill (bytes there are serialized wall-clock); at/over the cap the
+    columns must stay wide (the cast would wrap)."""
+    from ioverlay_spark.operators.distributed_extract import _narrow_boundary
+
+    b = spark.createDataFrame(
+        [(1, 2, 3, 4, 5)], "ax long, ay long, bx long, by long, fill int"
+    )
+    narrow = dict(_narrow_boundary(b, 1_000_000).dtypes)
+    assert narrow == {
+        "ax": "int", "ay": "int", "bx": "int", "by": "int", "fill": "tinyint"
+    }
+    for cap in ((1 << 31) - 1, 1 << 40, None):
+        wide = dict(_narrow_boundary(b, cap).dtypes)
+        assert wide == dict(b.dtypes)
