@@ -599,12 +599,18 @@ def split_segments_df(
     from ..session import audit_desc
 
     mx2_range = None  # global doubled-x range (splitting never leaves the bbox)
+    cmax_global = None
     for rnd in range(max_rounds):
         if bounds is None:
             audit_desc(segs.sparkSession, f"split:bounds r{rnd}")
             bounds = _count_and_bounds(segs)  # one scalar job: count + bbox
         if mx2_range is None:
             mx2_range = (2 * bounds[1], 2 * bounds[2])
+            # global coordinate cap for downstream dtype narrowing: splitting
+            # never leaves the input bbox and snap-rounded marks move <= 1
+            cmax_global = (
+                max(abs(bounds[1]), abs(bounds[2]), abs(bounds[3]), abs(bounds[4])) + 2
+            )
         last_n = bounds[0]
         # parallelism floor: crossing-DENSE inputs (few long segments, many
         # intersections) would otherwise land in one cell and serialize the
@@ -711,6 +717,8 @@ def split_segments_df(
         n_hint = last_n
     segs._ioverlay_n_segments = n_hint  # fills sizing hint (skips a count job)
     segs._ioverlay_mx2_range = mx2_range  # strip-rank outer bucket bounds
+    if cmax_global is not None:
+        segs._ioverlay_cmax = cmax_global  # bbox cap for dtype narrowing
     return segs
 
 
@@ -943,6 +951,7 @@ def compute_fills_df(
         n_strips = max(1, min(1024, n // 2000))
     hint_edges = getattr(segs, "_ioverlay_strip_mx2_edges", None)
     mx2_range = getattr(segs, "_ioverlay_mx2_range", None)
+    cmax_cap = getattr(segs, "_ioverlay_cmax", None)
     if n_strips > 1 and hint_edges:
         # edges precomputed by the split fixpoint's probe (mark-x quantiles,
         # doubled) — zero extra jobs; downsample evenly to the strip budget
@@ -1005,10 +1014,30 @@ def compute_fills_df(
             .withColumn("s_hi", F.lit(0))
             .withColumn("s_mid", F.lit(0))
         )
+    # narrow the strip shuffle when the known bbox allows: coordinates to
+    # int32 (gated on the split fixpoint's full x+y coordinate cap — NOT
+    # mx2_range, which bounds only x) and winding counts to int32 (counts are
+    # bounded by the segment count, which came through a long count() — far
+    # under 2^31). The strip kernel's column intake upcasts back to int64, so
+    # fill math is unchanged; this halves the stage's shuffle write/read +
+    # Arrow bytes (the n=1024 lines_net fill map stage ships ~100 MB).
+    if cmax_cap is not None and int(cmax_cap) < (1 << 31) - 1:
+        out_cols = [
+            F.col("ax").cast("int").alias("ax"),
+            F.col("ay").cast("int").alias("ay"),
+            F.col("bx").cast("int").alias("bx"),
+            F.col("by").cast("int").alias("by"),
+            F.col("subj").cast("int").alias("subj"),
+            F.col("clip").cast("int").alias("clip"),
+            F.col("strip").cast("int").alias("strip"),
+            F.col("is_home"),
+        ]
+    else:
+        out_cols = ["ax", "ay", "bx", "by", "subj", "clip", "strip", "is_home"]
     with_strips = (
         segs.withColumn("strip", F.explode(F.expr("sequence(s_lo, s_hi)")))
         .withColumn("is_home", F.col("strip") == F.col("s_mid"))
-        .select("ax", "ay", "bx", "by", "subj", "clip", "strip", "is_home")
+        .select(*out_cols)
     )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
