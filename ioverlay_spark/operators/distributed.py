@@ -1016,12 +1016,18 @@ def compute_fills_df(
         )
     # narrow the strip shuffle when the known bbox allows: coordinates to
     # int32 (gated on the split fixpoint's full x+y coordinate cap — NOT
-    # mx2_range, which bounds only x) and winding counts to int32 (counts are
-    # bounded by the segment count, which came through a long count() — far
-    # under 2^31). The strip kernel's column intake upcasts back to int64, so
-    # fill math is unchanged; this halves the stage's shuffle write/read +
-    # Arrow bytes (the n=1024 lines_net fill map stage ships ~100 MB).
-    if cmax_cap is not None and int(cmax_cap) < (1 << 31) - 1:
+    # mx2_range, which bounds only x) and winding counts to int32 (|subj| of a
+    # merged row is bounded by the number of coincident inputs, hence by the
+    # segment count — the gate requires that count to be known and < 2^31).
+    # The strip kernel's column intake upcasts back to int64, so fill math is
+    # unchanged; this halves the stage's shuffle write/read + Arrow bytes
+    # (the n=1024 lines_net fill map stage ships ~100 MB).
+    if (
+        cmax_cap is not None
+        and int(cmax_cap) < (1 << 31) - 1
+        and n is not None
+        and int(n) < (1 << 31) - 1
+    ):
         out_cols = [
             F.col("ax").cast("int").alias("ax"),
             F.col("ay").cast("int").alias("ay"),

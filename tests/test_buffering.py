@@ -114,6 +114,12 @@ def test_stroke_batch_bit_identical_and_fast():
         paths.append(base)
         widths.append(16 + (k % 16) * 2)
 
+    # warm BOTH paths before timing (first batch call pays one-time pool/alloc
+    # costs — measured 1.7x cold vs 4.0x steady-state; the guard is about
+    # steady-state throughput, and the cold read flipped to 0.6x under a
+    # contended host window)
+    stroke(paths[0], widths[0], cap=LineCap.ROUND, join=LineJoin.MITER)
+    stroke_batch(paths[:8], widths[:8], cap=LineCap.ROUND, join=LineJoin.MITER)
     t0 = time.perf_counter()
     scalar = [
         stroke(p, w, cap=LineCap.ROUND, join=LineJoin.MITER) for p, w in zip(paths, widths)
