@@ -105,9 +105,11 @@ def island_rect_exprs(id_col: str, dialect: str) -> dict[str, str]:
     ring with closed-form area 2*w*h - ceil(w/2)*ceil(h/2)."""
     i = bigint(id_col, dialect)
     ox = f"(({i} % 1024) * 16384)"
-    oy = f"(({i} / 1024) * 16384)" if dialect == "duckdb" else f"(CAST({i} / 1024 AS BIGINT) * 16384)"
-    if dialect == "duckdb":
-        oy = f"(({i} // 1024) * 16384)"
+    oy = (
+        f"(({i} // 1024) * 16384)"
+        if dialect == "duckdb"
+        else f"(CAST({i} / 1024 AS BIGINT) * 16384)"
+    )
     x1 = f"({ox} + (({i} * 2654435761) % 4096))"
     y1 = f"({oy} + ((({i} * 40503) + 99991) % 4096))"
     w = f"(256 + (({i} * 97) % 4096))"

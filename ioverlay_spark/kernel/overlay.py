@@ -68,7 +68,13 @@ def overlay(
     independent components — disjoint islands) are decomposed and routed
     through the batched tile kernel, which is exactly equivalent (see
     kernel/cluster.py for the proof sketch) and orders of magnitude faster
-    than one monolithic fixpoint over the union of all islands."""
+    than one monolithic fixpoint over the union of all islands.
+
+    Output SHAPE ORDER is not stable across code paths: the clustered route
+    groups shapes by cluster first-appearance while the monolithic route emits
+    extraction order. The set of shapes is identical either way; this matches
+    the reference contract (its own fixture comparator is order-canonical,
+    iOverlay/tests/util.rs) — consumers must not index output positionally."""
     if len(subj) + len(clip) >= CLUSTER_MIN_RINGS:
         from .cluster import cluster_jobs
 

@@ -49,9 +49,11 @@ DENSE_CELL_CAP = 2048
 
 
 def _floor_div(col, g):
-    # exact floor division for possibly-negative longs (Spark's `div` truncates
-    # toward zero; pmod is always non-negative)
-    return ((col - F.pmod(col, F.lit(g))) / F.lit(g)).cast("long")
+    # exact floor division for possibly-negative longs: (col - pmod(col, g)) is
+    # exactly divisible by g, so integral `div` (truncating) equals floor here.
+    # Spark's `/` is double division and rounds for |col| beyond ~2^53, which
+    # would mis-bucket wide coordinates (the engine supports >2^30 coords).
+    return F.call_function("div", col - F.pmod(col, F.lit(g)), F.lit(g))
 
 
 def _local_labels_kernel(tbl):

@@ -382,9 +382,17 @@ def overlay_grouped_rows(
                         lens.append(len(ring))
                         oa.append(a2)
         m = len(op)
-        offs_out = np.zeros(m + 1, dtype=np.int32)
+        # cumsum in int64 first: an int32 cumsum would wrap silently past 2^31
+        # total output points and corrupt the ListArray offsets (ADVICE r04)
+        offs64 = np.zeros(m + 1, dtype=np.int64)
         if m:
-            np.cumsum(lens, out=offs_out[1:])
+            np.cumsum(lens, out=offs64[1:])
+            if offs64[-1] >= 2**31:
+                raise ValueError(
+                    f"partition output rings total {offs64[-1]} points >= 2^31; "
+                    "repartition the input finer (list offsets are int32)"
+                )
+        offs_out = offs64.astype(np.int32)
         ovx = np.concatenate(rxs) if m else np.empty(0, dtype=np.int64)
         ovy = np.concatenate(rys) if m else np.empty(0, dtype=np.int64)
         po = pa.array(offs_out)

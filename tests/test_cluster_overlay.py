@@ -130,3 +130,27 @@ def test_overlay_grouped_rows_matches_overlay_pairs(spark):
         ).collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_floor_div_exact_beyond_double(spark):
+    # ADVICE r04: the cell-index floor division must be exact integer math —
+    # double division rounds past 2^53 and can shift a bbox's grid cell by one,
+    # silently under-merging clusters in the wide-coordinate regime.
+    from pyspark.sql import functions as F
+
+    from ioverlay_spark.operators.cluster_overlay import _floor_div
+
+    g = 1 << 16
+    vals = [
+        (1 << 60) + 1,
+        (1 << 60) - 1,
+        -((1 << 60) + 1),
+        (1 << 53) + 1,
+        -((1 << 53) + 3),
+        7,
+        -7,
+        0,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {r.v: r.fd for r in df.select("v", _floor_div(F.col("v"), g).alias("fd")).collect()}
+    assert got == {v: v // g for v in vals}
