@@ -73,17 +73,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Emitted LAST: queries whose loss under the driver's 50-query cap costs the
-# least evidence. Round-4 rotation (VERDICT r03 Next #8, freshness <= 2 rounds
-# for every query): the round-3 tail (segments_build/segments_merge/cell_index/
-# cell_cover/ring_area/tile_assign/relate_rects, green in r01+r02 but unchecked
-# in r03) moves INTO the checked window; seven queries that passed
-# rows+schema+hash in r03 (CORRECTNESS_r03.json) take the tail, so after r04
-# every registered query has a green driver row in r03 or r04.
-# (58 registered after round-4's cluster_overlay_union, cap 50 -> 8 tail rows,
-# all of them green in r03)
+# least evidence. Round-5 rotation (VERDICT r04 Next #6, freshness <= 2 rounds
+# for every query): the round-4 tail (knn/embed_knn/embed_neardup/ngram_jaccard/
+# lang_stats/simhash/token_stats/knn_grid, green in r03 but unchecked in r04)
+# moves INTO the checked window along with the new scenario_windows_diff; nine
+# queries that passed rows+schema+hash in r04 (CORRECTNESS_r04.json) take the
+# tail, so after r05 every registered query has a green driver row in r04 or
+# r05. (59 registered after round-5's scenario_windows_diff, cap 50 -> 9 tail
+# rows, all of them green in r04)
 _TAIL = [
-    "knn", "embed_knn", "embed_neardup", "ngram_jaccard",
-    "lang_stats", "simhash", "token_stats", "knn_grid",
+    "segments_build", "segments_merge", "cell_index", "cell_cover",
+    "tile_assign", "ring_area", "relate_rects", "clip_polyline",
+    "rasterize_pixels",
 ]
 
 

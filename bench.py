@@ -14,11 +14,23 @@ measurement would bound ANY engine at ~0.71 efficiency regardless of its plan.
 N=4, 4N=16 keeps the comparison about the engine, per the driver's "N and 4N cores"
 protocol.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total sec at local[CPUS]>, "unit": "sec",
-   "queries": {...}, "sf": ..., "counts": ..., "rows_per_sec": {...},
-   "scaling": {"local4_sec":..., "local16_sec":..., "efficiency":...},
-   "host_control": {...}}
+Prints TWO JSON lines: the full detail record first, then a COMPACT summary line
+LAST (always < 2000 chars — the driver's tail capture holds the whole record;
+VERDICT r04 "Next #2": the r04 detail line outgrew the tail and parsed as null).
+The compact line carries metric/value/unit/queries/sf/counts/rows_per_sec plus a
+scaling summary (per-half minima efficiency, median attempt ratio, all attempt
+ratios, attempt count) and host_control; full per-attempt detail is also written
+to audits/bench_detail_latest.json.
+
+Scaling workload (VERDICT r04 "Next #1"): the flagship overlay at sf0.1 got fast
+enough (~3.2 s at local[16]) that Spark fixed costs + host noise dominated the
+r04 measurement (driver-recorded efficiency 0.781 < 0.8 while repo audits read
+0.83-0.94). The scaling halves therefore run the SAME flagship pipeline on a
+SPARK_GRAFT_SCALE_REPS-times larger input (default 4x -> ~1.83M overlay jobs,
+local[16] half >= ~12 s), derived deterministically from the same id stream.
+Each half does one warm pass on the 1x subset (worker-pool/JIT warmup) then
+SPARK_GRAFT_SCALE_RUNS timed full passes (default 1; min across attempts is the
+estimator, see the measurement-model comment in main()).
 
 Workload (deterministic from the TPC-H-ish ids; geometry formulas shared with the
 DuckDB oracles in ioverlay_spark/queries.py):
@@ -154,16 +166,24 @@ def run_suite(cpus: int, overlay_only: bool = False) -> dict:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    scale_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "1"))
 
-    def timed(name, fn):
+    def timed(name, fn, warm_fn=None):
         # warm pass(es) for JIT/worker pools, then best-of-2 (the sandbox host has
         # multi-second unpredictable stalls; min damps them — standard practice).
-        # scale mode: the first timed run doubles as the warm pass (best-of-2's
-        # min() discards it), keeping the pair inside the wall-clock budget.
-        for _ in range(0 if overlay_only else max(1, passes - 1)):
-            fn()
+        # scale mode: warm on the cheap 1x subset (same code path — python worker
+        # spawn, Arrow init, numpy warm), then scale_runs timed full passes; the
+        # cross-attempt per-half minimum is the noise estimator, so one timed run
+        # per attempt suffices and keeps the attempt affordable at 4x input.
+        if overlay_only:
+            (warm_fn or fn)()
+            runs = scale_runs
+        else:
+            for _ in range(max(1, passes - 1)):
+                fn()
+            runs = 2
         best = None
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.time()
             counts[name] = fn()
             dt = time.time() - t0
@@ -193,25 +213,50 @@ def run_suite(cpus: int, overlay_only: bool = False) -> dict:
     cx, cy = ring_arrays(
         [(rc["x1"], rc["y1"]), (rc["x2"], rc["y1"]), (rc["x2"], rc["y2"]), (rc["x1"], rc["y2"])]
     )
-    overlay_in = lineitem.selectExpr(
-        "CAST(li_id AS BIGINT) AS pair_id",
-        f"{sx} AS subj_x",
-        f"{sy} AS subj_y",
-        f"{cx} AS clip_x",
-        f"{cy} AS clip_y",
-    )
+    def overlay_in_from(ids_df):
+        return ids_df.selectExpr(
+            "CAST(li_id AS BIGINT) AS pair_id",
+            f"{sx} AS subj_x",
+            f"{sy} AS subj_y",
+            f"{cx} AS clip_x",
+            f"{cy} AS clip_y",
+        )
+
+    # scale mode runs the SAME flagship pipeline on a reps-times larger id
+    # stream (deterministic: li_id*reps+r), sized so the local[16] half exceeds
+    # the host's fixed-cost noise floor (VERDICT r04 Next #1); the 1x input is
+    # kept as the warm pass
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4")) if overlay_only else 1
+    if reps > 1:
+        overlay_ids = (
+            lineitem.selectExpr("li_id", f"explode(sequence(0, {reps - 1})) AS r")
+            .selectExpr(f"li_id * {reps} + r AS li_id")
+            .repartition(int(os.environ.get("SPARK_GRAFT_INPUT_PARTS", "64")))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        overlay_ids = lineitem
+    overlay_in = overlay_in_from(overlay_ids)
+    warm_in = overlay_in_from(lineitem)
+
+    def run_overlay(df):
+        return (
+            overlay_rows(df, rules=OVERLAY_RULES)
+            .agg(F.count("*"), F.sum("area2"))
+            .collect()[0][0]
+        )
+
     timed(
         "overlay",
-        lambda: overlay_rows(overlay_in, rules=OVERLAY_RULES)
-        .agg(F.count("*"), F.sum("area2"))
-        .collect()[0][0],
+        lambda: run_overlay(overlay_in),
+        warm_fn=lambda: run_overlay(warm_in),
     )
 
     if overlay_only:
         # scaling-pair mode: the flagship overlay IS the north-rule workload (the
         # compute-dense stage; pip/tiles finish in ~1 s of constant per-stage cost
         # at this SF and cannot scale — see BENCH.md methodology)
-        n_li = lineitem.count()
+        n_jobs = lineitem.count() * reps
         spark.stop()
         total = round(sum(timings.values()), 3)
         return {
@@ -219,8 +264,10 @@ def run_suite(cpus: int, overlay_only: bool = False) -> dict:
             "total_sec": total,
             "queries": timings,
             "counts": counts,
+            "scale_reps": reps,
+            "overlay_jobs": n_jobs,
             "rows_per_sec": {
-                "overlay_jobs_per_sec": round(len(OVERLAY_RULES) * n_li / timings["overlay"], 1)
+                "overlay_jobs_per_sec": round(len(OVERLAY_RULES) * n_jobs / timings["overlay"], 1)
             },
         }
 
@@ -335,12 +382,12 @@ def main():
     # the wall budget, not the attempt count, is the binding stop in a degraded
     # host window (healthy windows early-exit at >=0.8 after 2 attempts), so a
     # high attempt cap just lets a bad window use all of the budgeted retries
-    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "8"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "6"))
     # >=3 attempts so the record never rests on one clean pair (VERDICT r03 #3):
     # the loop only stops early once the per-half minima AND the median
     # attempt ratio both clear the 0.8 north rule
     min_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_MIN_ATTEMPTS", "3"))
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1000"))
     timesN: list[float] = []
     times4N: list[float] = []
     attempts_log = []
@@ -423,21 +470,61 @@ def main():
         )
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "overlay+spatial-join+tiling suite wall-clock",
-                "value": main_res["total_sec"],
-                "unit": "sec",
-                "queries": main_res["queries"],
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "counts": main_res["counts"],
-                "rows_per_sec": main_res["rows_per_sec"],
-                "scaling": scaling,
-                "host_control": hc,
-            }
-        )
-    )
+    detail = {
+        "metric": "overlay+spatial-join+tiling suite wall-clock",
+        "value": main_res["total_sec"],
+        "unit": "sec",
+        "queries": main_res["queries"],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "counts": main_res["counts"],
+        "rows_per_sec": main_res["rows_per_sec"],
+        "scaling": scaling,
+        "host_control": hc,
+    }
+    # full per-attempt detail: one stdout line + a repo-side file; the LAST line
+    # is a compact summary guaranteed to fit the driver's 2000-char tail capture
+    # whole (VERDICT r04 "Next #2" — the r04 detail line outgrew the tail and the
+    # hard artifact recorded parsed=null)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "audits", "bench_detail_latest.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        detail_path = None
+    print("BENCH_DETAIL_JSON:" + json.dumps(detail))
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": detail["queries"],
+        "sf": detail["sf"],
+        "counts": detail["counts"],
+        "rows_per_sec": detail["rows_per_sec"],
+        "scaling": {
+            "workload": (
+                f"flagship overlay (3-rule), {results[SCALE_N].get('scale_reps', 1)}x "
+                f"input ({results[SCALE_N].get('overlay_jobs', 0)} jobs), identical "
+                "at both levels"
+            ),
+            f"local{SCALE_N}_sec": round(tN, 3),
+            f"local{4 * SCALE_N}_sec": round(t4N, 3),
+            "efficiency": scaling["efficiency"],
+            "median_attempt_efficiency": scaling["median_attempt_efficiency"],
+            "attempt_ratios": ratios,
+            "attempts": len(attempts_log),
+            "efficiency_method": "per-half minima across interleaved attempts",
+            "efficiency_vs_host_cpu_ceiling": scaling.get("efficiency_vs_host_cpu_ceiling"),
+            "detail": detail_path,
+        },
+        "host_control": hc,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail capture again
+        compact.pop("counts", None)
+        compact.pop("rows_per_sec", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -124,3 +124,30 @@ def island_rect_exprs(id_col: str, dialect: str) -> dict[str, str]:
         # union area2 = 2*(2wh - ceil(w/2)*ceil(h/2)); ceil via w - (w>>1)
         "union_area2": f"(2 * (2 * {w} * {h} - ({w} - {w2}) * ({h} - {h2})))",
     }
+
+
+def island_frame_exprs(id_col: str, dialect: str) -> dict[str, str]:
+    """Concentric square pair per document on the 16384-spaced island grid:
+    outer square of side W (subject), inner square of side W>>1 centered-ish
+    inside it (clip). DIFFERENCE is exactly ONE shape with a hull and a hole —
+    the closed-form oracle for the clustered hole-binding path:
+    hull area2 = 2*W*W, hole area2 = -2*w*w, net 2*(W*W - w*w), rings = 2."""
+    i = bigint(id_col, dialect)
+    ox = f"(({i} % 1024) * 16384)"
+    oy = (
+        f"(({i} // 1024) * 16384)"
+        if dialect == "duckdb"
+        else f"(CAST({i} / 1024 AS BIGINT) * 16384)"
+    )
+    x1 = f"({ox} + (({i} * 48271) % 4096))"
+    y1 = f"({oy} + ((({i} * 69621) + 12345) % 4096))"
+    W = f"(512 + (({i} * 131) % 2048))"
+    w = _shr(W, 1, dialect)
+    t = _shr(W, 2, dialect)
+    return {
+        "x1": x1, "y1": y1, "W": W, "w": w,
+        "x2": f"({x1} + {W})", "y2": f"({y1} + {W})",
+        "ix1": f"({x1} + {t})", "iy1": f"({y1} + {t})",
+        "ix2": f"({x1} + {t} + {w})", "iy2": f"({y1} + {t} + {w})",
+        "diff_area2": f"(2 * ({W} * {W} - {w} * {w}))",
+    }

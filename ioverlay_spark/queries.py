@@ -1413,6 +1413,61 @@ FROM documents ORDER BY doc_id
     return QuerySpec(spark=spark_fn, oracle=oracle)
 
 
+@_register("scenario_windows_diff")
+def _q_scenario_windows_diff():
+    """Scenario-family driver query (VERDICT r04 Next #7): the clustered overlay
+    path on a NON-union rule with hole binding. Each document is an island of
+    two concentric squares (reference 'windows' scenario shape,
+    iOverlay/performance/rust_app/src/test/test_1_windows.rs, one frame per
+    island); DIFFERENCE yields exactly one shape = hull + hole with closed-form
+    areas (exprgen.island_frame_exprs)."""
+
+    def spark_fn(spark, sf_dir):
+        from .functions.exprgen import island_frame_exprs
+        from .operators.cluster_overlay import cluster_overlay
+
+        r = island_frame_exprs("doc_id", "spark")
+
+        def ring(x1, y1, x2, y2):
+            return (
+                f"array({x1}, {x1}, {x2}, {x2}) AS pts_x",
+                f"array({y1}, {y2}, {y2}, {y1}) AS pts_y",
+            )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ax, ay = ring(r["x1"], r["y1"], r["x2"], r["y2"])
+        bx, by = ring(r["ix1"], r["iy1"], r["ix2"], r["iy2"])
+        subj = docs.selectExpr(
+            "'subject' AS role", "CAST(doc_id * 2 AS BIGINT) AS cid", ax, ay
+        )
+        clip = docs.selectExpr(
+            "'clip' AS role", "CAST(doc_id * 2 + 1 AS BIGINT) AS cid", bx, by
+        )
+        out = cluster_overlay(subj.unionAll(clip), "difference", "non_zero")
+        return (
+            out.groupBy("cluster_id")
+            .agg(
+                F.count("*").cast("long").alias("rings"),
+                F.sum("area2").cast("long").alias("area2"),
+            )
+            .selectExpr(
+                "CAST(cluster_id / 2 AS BIGINT) AS doc_id", "rings", "area2"
+            )
+            .orderBy("doc_id")
+        )
+
+    from .functions.exprgen import island_frame_exprs as _ife
+
+    rd = _ife("doc_id", "duckdb")
+    oracle = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(2 AS BIGINT) AS rings,
+       CAST({rd['diff_area2']} AS BIGINT) AS area2
+FROM documents ORDER BY doc_id
+"""
+    return QuerySpec(spark=spark_fn, oracle=oracle)
+
+
 # extension queries (text analytics, embedding similarity, remaining geometry
 # surfaces) register themselves into REGISTRY on import
 from . import queries_ext  # noqa: E402,F401  (intentional bottom import)
