@@ -456,6 +456,20 @@ def _windings_segtree(
     enum0 = 2 * tay[sid] * edt
     edy = (tby - tay)[sid]
     eax2 = 2 * tax[sid]
+    # bisection gathers are the fill's hot loop and memory-latency-bound: when
+    # doubled local coordinates fit int32 (always under the 2^30 grid; the
+    # wide-coordinate path keeps int64) narrow the three coordinate-scale
+    # operand arrays — numpy upcasts int32*int64 -> int64 inside the predicate,
+    # so every product is computed in int64 exactly as before (bit-identical;
+    # pinned by the fill differentials). enum0 is a coordinate PRODUCT and
+    # stays int64 unconditionally.
+    cmax2 = 2 * max(
+        (int(a.max()) for a in (tax, tay, tbx, tby) if len(a)), default=0
+    )
+    if 0 < cmax2 < 2**31:
+        edt = edt.astype(np.int32)
+        edy = edy.astype(np.int32)
+        eax2 = eax2.astype(np.int32)
     # zero-weight sides (self-union: clip empty) skip their prefix sums and
     # accumulation entirely
     has_subj = bool(np.any(segs.subj))
@@ -694,18 +708,24 @@ def compute_fills_windowed(
     if len(nv):
         L = (tbx - tax)[nv]
         cls = (np.frexp(L.astype(np.float64))[1] - 1) // 3  # floor(log2 L) // 3
-        classes = []
+        # dispatch estimate on a strided ray SAMPLE: est only chooses among
+        # exact paths, and the full searchsorted over every ray was the single
+        # biggest line of the spiral's fill (0.17 s of a 1.06 s fill — BENCH.md
+        # round 5). The window path below re-runs the search over all rays for
+        # the classes it actually scans.
+        stride = 16 if n >= 200_000 else 1
+        Xi_s = Xi[::stride]
+        sorted_classes = []
         est = 0
         for cval in np.unique(cls):
             idx = nv[cls == cval]
             idx = idx[np.argsort(tax[idx], kind="stable")]
             sax2 = 2 * tax[idx]
             wlen = 2 * int((tbx[idx] - tax[idx]).max())
-            lo = np.searchsorted(sax2, Xi - wlen, side="left")
-            hi = np.searchsorted(sax2, Xi, side="right")
-            counts = np.maximum(hi - lo, 0)
-            est += int(counts.sum())
-            classes.append((idx, lo, counts))
+            lo_s = np.searchsorted(sax2, Xi_s - wlen, side="left")
+            hi_s = np.searchsorted(sax2, Xi_s, side="right")
+            est += int(np.maximum(hi_s - lo_s, 0).sum()) * stride
+            sorted_classes.append((idx, sax2, wlen, lo_s, hi_s))
         if 2 * est >= n * len(nv):
             return compute_fills(segs, fill_rule)
         if est > 32 * n:
@@ -721,7 +741,13 @@ def compute_fills_windowed(
             # break-even sits near est/n ≈ 32.
             return compute_fills_segtree(segs, fill_rule, threads=threads)
         block = 4_000_000
-        for idx, lo, counts in classes:
+        for idx, sax2, wlen, lo_s, hi_s in sorted_classes:
+            if stride == 1:
+                lo, hi = lo_s, hi_s
+            else:
+                lo = np.searchsorted(sax2, Xi - wlen, side="left")
+                hi = np.searchsorted(sax2, Xi, side="right")
+            counts = np.maximum(hi - lo, 0)
             cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
             start = 0
             while start < n:
