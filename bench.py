@@ -137,6 +137,15 @@ def run_suite(cpus: int, overlay_only: bool = False) -> dict:
     )
     from ioverlay_spark.queries import _clip_rect_exprs, _hex_pts
 
+    # scale mode runs 4x the data: partition count scales WITH the data (192 vs
+    # 64 — similar rows/partition, the cluster-correct setup) and the Arrow
+    # batch shrinks so each batch's kernel working set stays cache-sized at the
+    # larger per-partition volume (measured: 4x/local[16] 11.8 -> 10.8 s,
+    # 4x/local[4] 45.1 -> 39.3 s, while at 1x the 20000/64 headline config is
+    # fastest — BENCH.md round 5)
+    batch_default = "3000" if overlay_only else "20000"
+    parts_default = "192" if overlay_only else "64"
+    input_parts = int(os.environ.get("SPARK_GRAFT_INPUT_PARTS", parts_default))
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"ioverlay-bench-{cpus}")
@@ -146,7 +155,10 @@ def run_suite(cpus: int, overlay_only: bool = False) -> dict:
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", batch_default),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -159,7 +171,7 @@ def run_suite(cpus: int, overlay_only: bool = False) -> dict:
         spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         .selectExpr("(l_orderkey * 10 + l_linenumber) AS li_id")
         .distinct()
-        .repartition(int(os.environ.get("SPARK_GRAFT_INPUT_PARTS", "64")))
+        .repartition(input_parts)
         .localCheckpoint(eager=True)
     )
 
@@ -231,7 +243,7 @@ def run_suite(cpus: int, overlay_only: bool = False) -> dict:
         overlay_ids = (
             lineitem.selectExpr("li_id", f"explode(sequence(0, {reps - 1})) AS r")
             .selectExpr(f"li_id * {reps} + r AS li_id")
-            .repartition(int(os.environ.get("SPARK_GRAFT_INPUT_PARTS", "64")))
+            .repartition(input_parts)
             .localCheckpoint(eager=True)
         )
     else:
@@ -382,7 +394,7 @@ def main():
     # the wall budget, not the attempt count, is the binding stop in a degraded
     # host window (healthy windows early-exit at >=0.8 after 2 attempts), so a
     # high attempt cap just lets a bad window use all of the budgeted retries
-    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "6"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "8"))
     # >=3 attempts so the record never rests on one clean pair (VERDICT r03 #3):
     # the loop only stops early once the per-half minima AND the median
     # attempt ratio both clear the 0.8 north rule
