@@ -256,9 +256,16 @@ def overlay_rows(
                             lens.append(len(ring))
                             oa.append(a2)
             m = len(op)
-            offs = np.zeros(m + 1, dtype=np.int32)
+            # cumsum in int64 first: an int32 cumsum would wrap silently past 2^31
+            offs64 = np.zeros(m + 1, dtype=np.int64)
             if m:
-                np.cumsum(lens, out=offs[1:])
+                np.cumsum(lens, out=offs64[1:])
+                if offs64[-1] >= 2**31:
+                    raise ValueError(
+                        "overlay batch output exceeds int32 list offsets; "
+                        "repartition the input finer (list offsets are int32)"
+                    )
+            offs = offs64.astype(np.int32)
             vx = np.concatenate(rxs) if m else np.empty(0, dtype=np.int64)
             vy = np.concatenate(rys) if m else np.empty(0, dtype=np.int64)
             po = pa.array(offs)
