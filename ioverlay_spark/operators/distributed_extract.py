@@ -771,6 +771,9 @@ def bind_holes_df(hulls: DataFrame, holes: DataFrame, n_bands: int = 256) -> Dat
 # it the broadcast-CC (<=_CC_LOCAL_EDGES comp map) and iterative-CC plans
 # take over
 _FUSED_EXTRACT_CAP = int(os.environ.get("SPARK_GRAFT_FUSED_EXTRACT_EDGES", "8000000"))
+# 1 = run the fused kernel driver-side (toArrow + createDataFrame) instead of
+# on one python worker behind repartition(1); A/B toggle, see BENCH.md round 5
+_FUSED_DRIVER_SIDE = os.environ.get("SPARK_GRAFT_FUSED_DRIVER", "0") == "1"
 # edge count up to which CC runs as ONE union-find task and its comp map is
 # broadcast back (the map is <= 2 longs per edge: ~16 bytes/edge)
 _CC_LOCAL_EDGES = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "4000000"))
@@ -867,6 +870,21 @@ def extract_shapes_df(
 
         audit_desc(fills.sparkSession, "extract:fused walk+ckpt")
         bn = _narrow_boundary(b, cmax)
+        if _FUSED_DRIVER_SIDE:
+            # A/B alternative: run the fused kernel on the DRIVER python
+            # process instead of a lone python worker. toArrow() pulls the
+            # boundary blocks straight from the fill tasks (no 64->1 shuffle
+            # round), the kernel threads out on the driver, and the ring
+            # table re-enters the JVM once via createDataFrame. Same bytes
+            # over Arrow either way; what this removes is the single-task
+            # shuffle write/read and the cold python-worker first-touch.
+            tbl = bn.toArrow()
+            out = kern(tbl)
+            rings = (
+                fills.sparkSession.createDataFrame(out)
+                .localCheckpoint(eager=True)
+            )
+            return _bind_and_project(rings)
         rings = (
             # repartition(1), not coalesce(1): measured equal-or-faster (the
             # 64-way shuffle write parallelizes; coalesce serializes the block
