@@ -39,12 +39,35 @@ def build_graph(
     fill_rule: FillRule = FillRule.EVEN_ODD,
     options: OverlayOptions = DEFAULT_OPTIONS,
 ) -> OverlayGraph:
-    segs = Segments.concat(
-        [
-            build_segments(subj, True, options.preserve_input_collinear),
-            build_segments(clip, False, options.preserve_input_collinear),
-        ]
-    )
+    rings = [np.asarray(r, dtype=np.int64).reshape(-1, 2) for r in subj] + [
+        np.asarray(r, dtype=np.int64).reshape(-1, 2) for r in clip
+    ]
+    t = None
+    if rings:
+        # batched ingest (one numpy pass over all rings; dirty rings take the
+        # reference-exact scalar cleanup inside) — the per-ring python loop in
+        # build_segments was ~20% of large monolithic one-shots. Falls back to
+        # the scalar path only for coords beyond the int64-safe batch cap.
+        from .batch import _EMPTY, vectorized_ring_segments
+
+        t = vectorized_ring_segments(
+            rings,
+            np.zeros(len(rings), dtype=np.int64),
+            [True] * len(subj) + [False] * len(clip),
+            options,
+        )
+    if t is None:
+        segs = Segments.concat(
+            [
+                build_segments(subj, True, options.preserve_input_collinear),
+                build_segments(clip, False, options.preserve_input_collinear),
+            ]
+        )
+    elif isinstance(t, str):  # _EMPTY
+        segs = Segments.empty()
+    else:
+        ax, ay, bx, by, s, c, _ = t
+        segs = Segments(ax, ay, bx, by, s, c)
     segs = split_segments(segs)  # sorts + merges first (A1/A2), then splits
     fills = compute_fills_windowed(segs, fill_rule)
     return OverlayGraph(segs, fills, options)
