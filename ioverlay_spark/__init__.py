@@ -7,6 +7,10 @@ partitioning, vectorized Arrow/pandas-UDF kernels, and driver-coordinated fixpoi
 rounds. See SURVEY.md for the blueprint.
 """
 
+from .memtune import tune_allocator as _tune_allocator
+
+_tune_allocator()  # slow-demand-paging hosts: keep kernel temp pages (memtune.py)
+
 from .options import (
     ALL_RULES,
     ContourDirection,

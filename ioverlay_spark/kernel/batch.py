@@ -35,6 +35,7 @@ from .overlay import build_graph
 from .segments import Segments, build_segments, sort_and_merge
 from .cross_vec import cross_pairs_batch
 from .split import _apply_marks
+from .gcpause import gc_paused_fn
 
 Shapes = list[list[np.ndarray]]
 
@@ -1035,6 +1036,303 @@ def _finalize_fast(ring_data, options, with_areas: bool = False) -> dict[int, Sh
     return out
 
 
+# ---- FLAT output tail ------------------------------------------------------
+# (job, shape_id, contour_idx, lens, pts, area2) arrays instead of per-ring
+# python lists/dicts: the emission side of the Arrow workers and the scalar
+# one-shot API were ~30-40% per-ring python at 10^6-ring batches (round-5
+# scenario profile). Semantics are identical to _finalize_fast + the callers'
+# flatten loops — differential-tested against them over the fixture corpus.
+
+_FLAT_EMPTY = (
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty((0, 2), dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+)
+
+
+def _flat_gather_rings(pts_src, src_pos, lens):
+    """Gather rings (src_pos[i] start, lens[i] points each) out of pts_src into
+    one contiguous (sum(lens), 2) buffer, in the given ring order."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    out_start = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=out_start[1:])
+    idx = np.repeat(src_pos - out_start, lens) + np.arange(total, dtype=np.int64)
+    return pts_src[idx]
+
+
+def _shapes_to_flat(slot_shapes):
+    """[(slot, (shapes, areas))] -> flat tuple (python loop — fallback slots only)."""
+    slots, sids, cidxs, lens, a2 = [], [], [], [], []
+    pieces = []
+    for sl, (shapes, areas) in slot_shapes:
+        for sid, (shape, s_areas) in enumerate(zip(shapes, areas)):
+            for ci, (ring, a) in enumerate(zip(shape, s_areas)):
+                slots.append(sl)
+                sids.append(sid)
+                cidxs.append(ci)
+                lens.append(len(ring))
+                a2.append(a)
+                pieces.append(np.asarray(ring, dtype=np.int64).reshape(-1, 2))
+    if not slots:
+        return _FLAT_EMPTY
+    pts = np.concatenate(pieces) if pieces else np.empty((0, 2), dtype=np.int64)
+    return (
+        np.asarray(slots, dtype=np.int64),
+        np.asarray(sids, dtype=np.int64),
+        np.asarray(cidxs, dtype=np.int64),
+        np.asarray(lens, dtype=np.int64),
+        pts,
+        np.asarray(a2, dtype=np.int64),
+    )
+
+
+def _merge_flat(parts):
+    """Concatenate flat tuples and re-sort rings by (job, shape, contour)."""
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
+        return _FLAT_EMPTY
+    if len(parts) == 1:
+        return parts[0]
+    slot = np.concatenate([p[0] for p in parts])
+    sid = np.concatenate([p[1] for p in parts])
+    cidx = np.concatenate([p[2] for p in parts])
+    lens = np.concatenate([p[3] for p in parts])
+    a2 = np.concatenate([p[5] for p in parts])
+    pts = np.concatenate([p[4] for p in parts])
+    # ring start offsets into the concatenated pts, pre-sort
+    src_pos = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=src_pos[1:])
+    order = np.lexsort((cidx, sid, slot))
+    return (
+        slot[order],
+        sid[order],
+        cidx[order],
+        lens[order],
+        _flat_gather_rings(pts, src_pos[order], lens[order]),
+        a2[order],
+    )
+
+
+def _finalize_fast_flat(ring_data, options):
+    """Vectorized validate + classify straight to FLAT arrays.
+
+    Returns (flat, fb_slots): flat = (slot, shape_id, contour_idx, lens, pts,
+    area2) sorted by (slot, shape, contour), covering every fast slot this path
+    can serve exactly; fb_slots = fast slots it cannot (a dirty ring needing the
+    scalar simplify, or hole binding beyond the single-hull case) — the caller
+    must finalize those via _finalize_fast and merge. Output rings for served
+    slots equal _finalize_fast's exactly: hulls in emission order = shapes;
+    single-hull slots bind every hole to the hull in emission order (bind_holes
+    with one hull resolves every hole to it — anchors of walk-emitted holes lie
+    strictly inside the lone hull on degree-2 tiles)."""
+    slot = ring_data["slot"]
+    n = len(slot)
+    if n == 0:
+        return _FLAT_EMPTY, np.empty(0, dtype=np.int64)
+    hole = ring_data["hole"]
+    lens = ring_data["len"]
+    min_area2 = 2 * options.min_output_area
+    simplify = not options.preserve_output_collinear
+
+    a2_all = np.empty(n, dtype=np.int64)
+    dirty_all = np.zeros(n, dtype=bool)
+    pos = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=pos[1:])
+    pts_src = np.empty((int(lens.sum()), 2), dtype=np.int64)
+    for L in np.unique(lens).tolist():
+        sel = np.flatnonzero(lens == L)
+        k = len(sel)
+        block = np.empty((k, L, 2), dtype=np.int64)
+        block[:, 0, 0] = ring_data["first_x"][sel]
+        block[:, 0, 1] = ring_data["first_y"][sel]
+        if L > 1:
+            block[:, 1:, 0] = ring_data["buf_x"][sel, : L - 1]
+            block[:, 1:, 1] = ring_data["buf_y"][sel, : L - 1]
+        if simplify:
+            prv = np.roll(block, 1, axis=1)
+            nxt = np.roll(block, -1, axis=1)
+            dup = np.all(block == prv, axis=2).any(axis=1)
+            a = block - prv
+            b = nxt - block
+            cr = a[:, :, 0] * b[:, :, 1] - a[:, :, 1] * b[:, :, 0]
+            dirty = dup | (cr == 0).any(axis=1) | (L < 3)
+        else:
+            dirty = np.zeros(k, dtype=bool)
+        mx = int(np.abs(block).max(initial=0))
+        if L * mx * mx >= (1 << 62):
+            dirty[:] = True
+        x = block[:, :, 0]
+        y = block[:, :, 1]
+        a2 = (x * np.roll(y, -1, axis=1)).sum(axis=1) - (
+            np.roll(x, -1, axis=1) * y
+        ).sum(axis=1)
+        a2_all[sel] = a2
+        dirty_all[sel] = dirty
+        idx = (pos[sel][:, None] + np.arange(L, dtype=np.int64)).ravel()
+        pts_src[idx] = block.reshape(-1, 2)
+
+    keep = ~dirty_all & (a2_all != 0)
+    if min_area2 > 0:
+        keep &= np.abs(a2_all) >= min_area2
+
+    # dense slot index (slot is sorted ascending)
+    sb = np.empty(n, dtype=bool)
+    sb[0] = True
+    np.not_equal(slot[1:], slot[:-1], out=sb[1:])
+    sidx = np.cumsum(sb) - 1
+    ns = int(sidx[-1]) + 1
+    slot_of = slot[sb]
+    has_dirty = np.bincount(sidx[dirty_all], minlength=ns) > 0
+    hulls_kept = np.bincount(sidx[keep & ~hole], minlength=ns)
+    holes_kept = np.bincount(sidx[keep & hole], minlength=ns)
+    fb_mask = has_dirty | ((holes_kept > 0) & (hulls_kept > 1))
+    fb_slots = slot_of[fb_mask]
+    # orphan holes (every hull of the slot dropped): bind_holes drops them
+    keep &= ~(hole & (hulls_kept[sidx] == 0))
+    emit = keep & ~fb_mask[sidx]
+    e = np.flatnonzero(emit)
+    if len(e) == 0:
+        return _FLAT_EMPTY, fb_slots
+    # (slot, hole, emission rank) order: hulls first — matches _finalize_fast's
+    # per-slot [hulls by rank, then bound holes by rank]
+    eo = e[np.lexsort((e, hole[e], sidx[e]))]
+    sidx_eo = sidx[eo]
+    gb = np.empty(len(eo), dtype=bool)
+    gb[0] = True
+    np.not_equal(sidx_eo[1:], sidx_eo[:-1], out=gb[1:])
+    gstart = np.flatnonzero(gb)
+    gid = np.cumsum(gb) - 1
+    rank_in_slot = np.arange(len(eo), dtype=np.int64) - gstart[gid]
+    hole_eo = hole[eo]
+    hk = hulls_kept[sidx_eo]
+    sid = np.where(hole_eo, 0, rank_in_slot)
+    cidx = np.where(hole_eo, rank_in_slot - hk + 1, 0)
+    lens_eo = lens[eo].astype(np.int64, copy=False)
+    flat = (
+        slot[eo],
+        sid.astype(np.int64, copy=False),
+        cidx.astype(np.int64, copy=False),
+        lens_eo,
+        _flat_gather_rings(pts_src, pos[eo], lens_eo),
+        a2_all[eo],
+    )
+    return flat, fb_slots
+
+
+def _overlay_tail_flat(t, nj, rules, options, fast_extract):
+    """_overlay_tail producing {rule: flat tuple} (sorted by job/shape/contour)."""
+    if t == _EMPTY:
+        return {rule: _FLAT_EMPTY for rule in rules}
+    segs, all_fills, starts, off, y0 = t
+    from ..options import ContourDirection
+    from .extract import boundary_mask
+
+    clockwise_output = options.output_direction == ContourDirection.CLOCKWISE
+    rule_masks = {rule: boundary_mask(all_fills, rule) for rule in rules}
+    per_rule: dict = {}
+    fast_mask: dict = {}
+    for rule in rules:
+        if not fast_extract:
+            fast_mask[rule] = np.zeros(nj, dtype=bool)
+            per_rule[rule] = [_FLAT_EMPTY]
+            continue
+        tile_fast, ring_data = _fast_contours_batch(
+            segs, rule_masks[rule], all_fills, starts, rule, clockwise_output, off, y0
+        )
+        fast_mask[rule] = tile_fast
+        if ring_data is None:
+            per_rule[rule] = [_FLAT_EMPTY]
+            continue
+        flat, fb_slots = _finalize_fast_flat(ring_data, options)
+        parts = [flat]
+        if len(fb_slots):
+            sel = np.isin(ring_data["slot"], fb_slots)
+            sub = {
+                k: (fb_slots if k == "fast_slots" else v[sel])
+                for k, v in ring_data.items()
+            }
+            per_slot = _finalize_fast(sub, options, with_areas=True)
+            parts.append(
+                _shapes_to_flat([(int(sl), per_slot[int(sl)]) for sl in fb_slots])
+            )
+        per_rule[rule] = parts
+
+    any_slow = np.zeros(nj, dtype=bool)
+    for rule in rules:
+        any_slow |= ~fast_mask[rule]
+    nonempty = np.diff(starts) > 0
+    slow_slots = np.flatnonzero(any_slow & nonempty)
+    if len(slow_slots):
+        from .extract import _LinkGraph, finalize_contours, walk_contours
+
+        link_off = np.repeat(off, np.diff(starts))
+        all_pa = list(zip((segs.ax - link_off).tolist(), (segs.ay + y0).tolist()))
+        all_pb = list(zip((segs.bx - link_off).tolist(), (segs.by + y0).tolist()))
+        all_fl = all_fills.tolist()
+        slow_acc: dict = {rule: [] for rule in rules}
+        for slot in slow_slots.tolist():
+            lo, hi = int(starts[slot]), int(starts[slot + 1])
+            g = _LinkGraph(all_pa[lo:hi], all_pb[lo:hi], all_fl[lo:hi])
+            for rule in rules:
+                if fast_mask[rule][slot]:
+                    continue
+                contours = walk_contours(
+                    None, None, rule, clockwise_output, rule_masks[rule][lo:hi], g
+                )
+                slow_acc[rule].append(
+                    (slot, finalize_contours(contours, options, with_areas=True))
+                )
+        for rule in rules:
+            if slow_acc[rule]:
+                per_rule[rule].append(_shapes_to_flat(slow_acc[rule]))
+    return {rule: _merge_flat(per_rule[rule]) for rule in rules}
+
+
+@gc_paused_fn
+def overlay_batch_flat_out(
+    P: np.ndarray,
+    counts: np.ndarray,
+    ring_job: np.ndarray,
+    ring_subj: np.ndarray,
+    nj: int,
+    rules: list,
+    fill_rule: FillRule = FillRule.EVEN_ODD,
+    options: OverlayOptions = DEFAULT_OPTIONS,
+    fast_extract: bool | None = None,
+) -> dict:
+    """overlay_batch_flat with FLAT output: {rule: (job, shape_id, contour_idx,
+    lens, pts, area2)} where pts is the (sum(lens), 2) int64 concatenation of
+    every output ring in (job, shape_id, contour_idx) order. Ring sets are
+    identical to overlay_batch_flat(..., with_areas=True) over the same input;
+    jobs need not be pre-sorted in ring_job."""
+    if fast_extract is None:
+        fast_extract = FAST_EXTRACT_DEFAULT
+    rules = [OverlayRule(r) for r in rules]
+    if nj == 0:
+        return {rule: _FLAT_EMPTY for rule in rules}
+    t = None
+    if nj > 1:
+        t = _split_fill_parts(
+            _batch_tiled_segments_flat(P, counts, ring_job, ring_subj, nj, options),
+            nj, fill_rule,
+        )
+    if nj == 1 or t is None:
+        res = _scalar_batch(
+            _jobs_from_flat(P, counts, ring_job, ring_subj, nj),
+            rules, fill_rule, options, with_areas=True,
+        )
+        return {
+            rule: _shapes_to_flat([(j, res[j][rule]) for j in range(nj)])
+            for rule in rules
+        }
+    return _overlay_tail_flat(t, nj, rules, options, fast_extract)
+
+
 # The vectorized degree-2 walk trades python time for MEMORY BANDWIDTH. Round 2
 # measured it LOSING the 4->16-worker scaling on this one-bus box (0.906 ->
 # 0.743: 16 workers' int64 streaming ops saturated the shared memory bus) and
@@ -1048,6 +1346,7 @@ def _finalize_fast(ring_data, options, with_areas: bool = False) -> dict[int, Sh
 FAST_EXTRACT_DEFAULT = True
 
 
+@gc_paused_fn
 def overlay_batch(
     jobs: list[tuple[list[np.ndarray], list[np.ndarray]]],
     rules: list[OverlayRule],
@@ -1089,6 +1388,7 @@ def _jobs_from_flat(P, counts, ring_job, ring_subj, nj):
     return jobs
 
 
+@gc_paused_fn
 def overlay_batch_flat(
     P: np.ndarray,
     counts: np.ndarray,

@@ -50,6 +50,10 @@ def ring_bboxes(rings: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray, np.nda
     return minx, miny, maxx, maxy
 
 
+from .gcpause import gc_paused_fn
+
+
+@gc_paused_fn
 def cluster_labels(
     minx: np.ndarray,
     miny: np.ndarray,
@@ -158,6 +162,7 @@ def cluster_labels(
     return rank[inv]
 
 
+@gc_paused_fn
 def cluster_jobs(
     subj: list[np.ndarray], clip: list[np.ndarray], pair_budget: int = PAIR_BUDGET
 ) -> tuple[list[tuple[list[np.ndarray], list[np.ndarray]]], np.ndarray] | None:

@@ -33,6 +33,10 @@ class OverlayGraph:
         return extract_shapes(self.segments, self.fills, rule, self.options)
 
 
+from .gcpause import gc_paused_fn
+
+
+@gc_paused_fn
 def build_graph(
     subj: list[np.ndarray],
     clip: list[np.ndarray],
@@ -78,6 +82,7 @@ def build_graph(
 CLUSTER_MIN_RINGS = 256
 
 
+@gc_paused_fn
 def overlay(
     subj: list[np.ndarray],
     clip: list[np.ndarray],
@@ -99,19 +104,57 @@ def overlay(
     the reference contract (its own fixture comparator is order-canonical,
     iOverlay/tests/util.rs) — consumers must not index output positionally."""
     if len(subj) + len(clip) >= CLUSTER_MIN_RINGS:
-        from .cluster import cluster_jobs
+        from .cluster import cluster_labels
 
-        decomp = cluster_jobs(subj, clip)
-        if decomp is not None:
-            jobs, _ = decomp
-            from .batch import overlay_batch
+        # flat end-to-end: one concatenate + per-ring bboxes, labels as the
+        # ring->job map, the batch kernel's flat ingest/emit — no per-ring
+        # python job lists anywhere (they were ~30% of large one-shots and made
+        # every GC pass O(rings))
+        rings = [np.asarray(r, dtype=np.int64).reshape(-1, 2) for r in subj] + [
+            np.asarray(r, dtype=np.int64).reshape(-1, 2) for r in clip
+        ]
+        nr = len(rings)
+        counts = np.fromiter((len(r) for r in rings), dtype=np.int64, count=nr)
+        P = np.concatenate(rings) if nr else np.empty((0, 2), dtype=np.int64)
+        starts = np.zeros(nr, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        ok = counts > 0
+        red = starts[ok]
+        minx = np.minimum.reduceat(P[:, 0], red) if ok.any() else np.empty(0, np.int64)
+        if ok.all() and nr >= 2:
+            maxx = np.maximum.reduceat(P[:, 0], red)
+            miny = np.minimum.reduceat(P[:, 1], red)
+            maxy = np.maximum.reduceat(P[:, 1], red)
+            labels = cluster_labels(minx, miny, maxx, maxy)
+            if labels is not None:
+                from .batch import overlay_batch_flat_out
 
-            results = overlay_batch(jobs, [rule], fill_rule, options)
-            out: Shapes = []
-            for res in results:
-                out.extend(res[rule])
-            return out
+                ring_subj = np.zeros(nr, dtype=bool)
+                ring_subj[: len(subj)] = True
+                flat = overlay_batch_flat_out(
+                    P, counts, labels, ring_subj, int(labels.max()) + 1,
+                    [rule], fill_rule, options,
+                )[rule]
+                return _flat_to_shapes(flat)
     return build_graph(subj, clip, fill_rule, options).extract(rule)
+
+
+def _flat_to_shapes(flat) -> Shapes:
+    """(job, sid, cidx, lens, pts, a2) -> the Shapes list API (rings are views
+    of one contiguous buffer; shape boundaries at contour_idx == 0)."""
+    _, _, cidx, lens, pts, _ = flat
+    if len(lens) == 0:
+        return []
+    rings = np.split(pts, np.cumsum(lens[:-1]))
+    out: Shapes = []
+    last = None
+    for r, first in zip(rings, (cidx == 0).tolist()):
+        if first:
+            last = [r]
+            out.append(last)
+        else:
+            last.append(r)
+    return out
 
 
 def simplify(
