@@ -144,19 +144,24 @@ def cluster_labels(
         ui = vi = np.empty(0, dtype=np.int64)
 
     labels = np.arange(n, dtype=np.int64)
-    if len(ui):
-        from ..operators.distributed_extract import _cc_label_arrays
+    if not len(ui):
+        # no exact overlaps at all: every ring is its own cluster and arange is
+        # already the dense first-appearance labeling — skip the O(n log n)
+        # relabel (measured 2.4 s of a 9 s call at 2.1M disjoint rings)
+        return labels
+    from ..operators.distributed_extract import _cc_label_arrays
 
-        nodes, parent = _cc_label_arrays(ui, vi)
-        labels[nodes] = nodes[parent]
+    nodes, parent = _cc_label_arrays(ui, vi)
+    labels[nodes] = nodes[parent]
     # dense relabel by first appearance (deterministic, input-order-stable)
-    first = np.full(n, -1, dtype=np.int64)
     uniq, inv = np.unique(labels, return_inverse=True)
     k = len(uniq)
     if k < 2:
         return None
-    order_of_first = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
-    np.minimum.at(order_of_first, inv, np.arange(n, dtype=np.int64))
+    # first appearance per label: reversed fancy store keeps the EARLIEST index
+    # as the last write (vectorized; ~10x np.minimum.at on 2M elements)
+    order_of_first = np.empty(k, dtype=np.int64)
+    order_of_first[inv[::-1]] = np.arange(n - 1, -1, -1, dtype=np.int64)
     rank = np.empty(k, dtype=np.int64)
     rank[np.argsort(order_of_first, kind="stable")] = np.arange(k, dtype=np.int64)
     return rank[inv]

@@ -79,6 +79,12 @@ def _local_labels_kernel(tbl):
     if labels is None:
         labels = np.zeros(n, dtype=np.int64)
     k = int(labels.max()) + 1
+    if k == n:
+        # all-singleton labeling (labels are dense first-appearance, so k == n
+        # means identity): every contour is its own cluster — skip the ufunc.at
+        # group reductions, which cost ~1 s at 2M rings
+        return pa.table({"cid": pa.array(cid), "cluster": pa.array(cid),
+                         "cluster_npts": pa.array(npts)})
     min_cid = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
     np.minimum.at(min_cid, labels, cid)
     tot = np.zeros(k, dtype=np.int64)
@@ -107,19 +113,65 @@ def cluster_labels_df(
     `local_threshold` contours the bboxes (5 longs each) fit one executor task,
     so ONE applyInArrow runs the scalar exact-CC kernel — no candidate join, no
     CC rounds, no label joins. Above it, the relational plan: cell-cover
-    candidate join + exact overlap filter + distributed CC."""
-    bb = contours.where(F.size("pts_x") >= 3).select(
-        "cid",
-        F.array_min("pts_x").alias("minx"),
-        F.array_max("pts_x").alias("maxx"),
-        F.array_min("pts_y").alias("miny"),
-        F.array_max("pts_y").alias("maxy"),
-        F.size("pts_x").cast("long").alias("npts"),
+    candidate join + exact overlap filter + distributed CC.
+
+    Bboxes are computed in the ARROW domain (per-partition numpy reduceat over
+    the list offsets) rather than SQL array_min/array_max: the codegen'd
+    per-row array fold costs ~8x the whole Arrow pass at 2M contours (measured
+    15.9 s vs 2-3 s — the row-oriented array deserialization dominates), and
+    the bbox frame is then checkpointed once (6 longs/row) so the dispatch
+    probe and the consumer never rescan the geometry."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    bb_schema = StructType(
+        [
+            StructField("cid", LongType()),
+            StructField("minx", LongType()),
+            StructField("maxx", LongType()),
+            StructField("miny", LongType()),
+            StructField("maxy", LongType()),
+            StructField("npts", LongType()),
+        ]
+    )
+
+    def _bbox_kernel(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in it:
+            ncols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            nrows = rb.num_rows
+            if nrows == 0:
+                continue
+            cid = ncols["cid"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            out = {"cid": cid}
+            for axis in ("x", "y"):
+                col = ncols[f"pts_{axis}"]
+                offs = np.asarray(col.offsets, dtype=np.int64)
+                vals = np.asarray(col.values, dtype=np.int64)
+                # normalize sliced/shared buffers: reduceat's last group runs to
+                # the END of vals, so the buffer must stop at offs[-1]
+                if offs[0] != 0 or offs[-1] != len(vals):
+                    vals = vals[offs[0]:offs[-1]]
+                    offs = offs - offs[0]
+                starts = offs[:-1]
+                out[f"min{axis}"] = np.minimum.reduceat(vals, starts)
+                out[f"max{axis}"] = np.maximum.reduceat(vals, starts)
+                if axis == "x":
+                    out["npts"] = np.diff(offs)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[k]) for k in ("cid", "minx", "maxx", "miny", "maxy", "npts")],
+                names=["cid", "minx", "maxx", "miny", "maxy", "npts"],
+            )
+
+    bb = (
+        contours.where(F.size("pts_x") >= 3)
+        .select("cid", "pts_x", "pts_y")
+        .mapInArrow(_bbox_kernel, schema=bb_schema)
+        .localCheckpoint(eager=True)
     )
     probe = count_hint if count_hint is not None else bb.limit(local_threshold + 1).count()
     if probe <= local_threshold:
-        from pyspark.sql.types import LongType, StructField, StructType
-
         schema = StructType(
             [
                 StructField("cid", LongType()),
@@ -127,13 +179,20 @@ def cluster_labels_df(
                 StructField("cluster_npts", LongType()),
             ]
         )
-        return (
-            bb.withColumn("_g", F.lit(0))
-            .groupBy("_g")
-            .applyInArrow(lambda tbl: _local_labels_kernel(tbl), schema=schema)
-        )
 
-    bb = bb.localCheckpoint(eager=True)
+        def _one_task(it):
+            import pyarrow as pa
+
+            batches = list(it)
+            if not batches:
+                return
+            tbl = pa.Table.from_batches(batches).combine_chunks()
+            out = _local_labels_kernel(tbl)
+            yield from out.to_batches()
+
+        # coalesce(1) over the checkpointed bbox frame is a NARROW read of the
+        # in-memory partitions — no 84 MB shuffle write+read like groupBy(_g)
+        return bb.coalesce(1).mapInArrow(_one_task, schema=schema)
     ext = bb.agg(
         F.max(F.col("maxx") - F.col("minx")).alias("w"),
         F.max(F.col("maxy") - F.col("miny")).alias("h"),
@@ -188,7 +247,18 @@ def cluster_labels_df(
         cover.where((F.col("cnt") > dense_cell_cap) & (F.col("cid") != F.col("anchor")))
         .select(F.col("anchor").alias("u"), F.col("cid").alias("v"))
     )
-    cc = connected_components(pair_edges.unionAll(star_edges))
+    # materialize the (tiny: 2 longs/edge) edge set once — the CC dispatch probe
+    # and the CC itself would otherwise each re-run the candidate join
+    edges = pair_edges.unionAll(star_edges).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    if n_edges == 0:
+        # no exact bbox overlaps anywhere: every contour is its own cluster —
+        # skip the CC and both label joins entirely (the dominant shape for
+        # disjoint-island geometry at map scale)
+        return bb.select(
+            "cid", F.col("cid").alias("cluster"), F.col("npts").alias("cluster_npts")
+        )
+    cc = connected_components(edges, count_hint=n_edges)
     lab = (
         bb.select("cid", "npts")
         .join(cc.withColumnRenamed("node", "cid"), "cid", "left")
@@ -218,7 +288,15 @@ def cluster_overlay(
     rule = OverlayRule(rule)
     fill_rule = FillRule(fill_rule)
 
-    src = contours.where(F.size("pts_x") >= 3).localCheckpoint(eager=True)
+    src = contours.where(F.size("pts_x") >= 3)
+    # src is scanned ~3x (label probe, bbox build, small-cluster join). When the
+    # caller's plan is already a materialized scan (LogicalRDD = a checkpoint,
+    # createDataFrame, or cached RDD) re-scanning the cheap filter beats paying
+    # a second full-geometry materialization; anything with real compute or a
+    # join upstream is materialized once here instead.
+    plan_str = src._jdf.queryExecution().optimizedPlan().toString()
+    if not ("LogicalRDD" in plan_str and "Join" not in plan_str):
+        src = src.localCheckpoint(eager=True)
     # labels are 3 longs per contour — checkpoint THEM, never the joined
     # geometry (each consumer below joins once and streams straight into its
     # own shuffle; an eager checkpoint of the join would materialize every
@@ -226,25 +304,44 @@ def cluster_overlay(
     labels = cluster_labels_df(src, dense_cell_cap=dense_cell_cap).localCheckpoint(
         eager=True
     )
-    # labels are (cid, cluster, npts) longs — broadcasting them keeps the
-    # GEOMETRY map-side (no sort-merge shuffle of every ring just to attach a
-    # label); gate on the label count so huge label sets fall back to a
-    # shuffle join
-    n_labels = labels.limit(8_000_001).count()
-    small_labels = labels.where(F.col("cluster_npts") <= giant_points_cap).select(
-        "cid", "cluster"
+    # all-singleton detection: cluster = min cid of its component, so
+    # cluster == cid everywhere iff NO two contours' bboxes overlap. That is
+    # the dominant shape at map scale (disjoint islands) and admits the zero-
+    # shuffle plan: each contour IS its own job, so the label join AND the
+    # co-locating geometry shuffle both vanish — the kernel runs in place on
+    # the input partitioning (giants filtered by ring size alone, since a
+    # singleton cluster's npts is its contour's npts).
+    all_singleton = (
+        labels.where(F.col("cluster") != F.col("cid")).limit(1).count() == 0
     )
-    if n_labels <= 8_000_000:
-        small_labels = F.broadcast(small_labels)
-    smalls = src.join(small_labels, "cid")
-    out = overlay_grouped_rows(
-        smalls.select(
-            F.col("cluster").alias("pair_id"), "role", "pts_x", "pts_y"
-        ),
-        [rule],
-        fill_rule,
-        options,
-    ).select(
+    if all_singleton:
+        smalls = src.where(F.size("pts_x") <= giant_points_cap).select(
+            F.col("cid").alias("pair_id"), "role", "pts_x", "pts_y"
+        )
+        grouped = overlay_grouped_rows(
+            smalls, [rule], fill_rule, options, pre_grouped=True
+        )
+    else:
+        # labels are (cid, cluster, npts) longs — broadcasting them keeps the
+        # GEOMETRY map-side (no sort-merge shuffle of every ring just to attach
+        # a label); gate on the label count so huge label sets fall back to a
+        # shuffle join
+        n_labels = labels.limit(8_000_001).count()
+        small_labels = labels.where(F.col("cluster_npts") <= giant_points_cap).select(
+            "cid", "cluster"
+        )
+        if n_labels <= 8_000_000:
+            small_labels = F.broadcast(small_labels)
+        smalls = src.join(small_labels, "cid")
+        grouped = overlay_grouped_rows(
+            smalls.select(
+                F.col("cluster").alias("pair_id"), "role", "pts_x", "pts_y"
+            ),
+            [rule],
+            fill_rule,
+            options,
+        )
+    out = grouped.select(
         F.col("pair_id").alias("cluster_id"),
         "shape_id",
         F.col("contour_idx").cast("long").alias("ring_id"),

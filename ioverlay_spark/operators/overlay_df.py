@@ -294,14 +294,19 @@ def overlay_grouped_rows(
     fill_rule: str | FillRule = FillRule.EVEN_ODD,
     options: OverlayOptions = DEFAULT_OPTIONS,
     parts: int | None = None,
+    pre_grouped: bool = False,
 ) -> DataFrame:
     """overlay_pairs semantics over (pair_id, role, pts_x, pts_y) rows, but on
     the FLAT Arrow path (the overlay_rows treatment for multi-row jobs): one
     repartition co-locates each pair, then a mapInArrow kernel feeds the list
-    columns' offsets+values straight into overlay_batch_flat — no per-row
-    python job assembly, no pandas object arrays. Bit-identical results to
-    overlay_pairs (same kernel underneath); used by cluster_overlay where a
-    job is a spatial cluster of many contours."""
+    columns' offsets+values straight into the flat-output batch kernel — no
+    per-row python job assembly on input, no per-ring python on output.
+    Bit-identical results to overlay_pairs (same kernel underneath); used by
+    cluster_overlay where a job is a spatial cluster of many contours.
+
+    pre_grouped=True skips the co-locating shuffle: the caller asserts every
+    pair_id's rows already live in one partition (e.g. all-singleton spatial
+    clusters, where each contour IS its own job) — the geometry never moves."""
     from ..session import ship_package
 
     ship_package(rows.sparkSession)
@@ -316,7 +321,7 @@ def overlay_grouped_rows(
     def kernel(it):
         import pyarrow as pa
 
-        from ..kernel.batch import overlay_batch_flat
+        from ..kernel.batch import overlay_batch_flat_out
 
         rule_vals = [r.value for r in rule_objs]
         batches = list(it)
@@ -369,26 +374,26 @@ def overlay_grouped_rows(
         nj = len(job_pid)
         ring_subj = (role[order] == "subject")
 
-        res = overlay_batch_flat(
+        res = overlay_batch_flat_out(
             P, counts_s, ring_job, np.asarray(ring_subj, dtype=bool), nj,
-            rule_objs, fr, options, with_areas=True,
+            rule_objs, fr, options,
         )
-        op, orr, osid, ocid, oa = [], [], [], [], []
-        rxs, rys, lens = [], [], []
-        for pid, r in zip(job_pid, res):
-            for ri, rule in enumerate(rule_objs):
-                shapes, areas = r[rule]
-                for sid, (shape, s_areas) in enumerate(zip(shapes, areas)):
-                    for cid, (ring, a2) in enumerate(zip(shape, s_areas)):
-                        op.append(pid)
-                        orr.append(rule_vals[ri])
-                        osid.append(sid)
-                        ocid.append(cid)
-                        rxs.append(ring[:, 0])
-                        rys.append(ring[:, 1])
-                        lens.append(len(ring))
-                        oa.append(a2)
+        # flat emission per rule: numpy arrays straight into Arrow, zero
+        # per-ring python (the scalar one-shot path's treatment, commit-shared
+        # kernel overlay_batch_flat_out)
+        ops, orrs, osids, ocids, oas, lens_parts, pts_parts = [], [], [], [], [], [], []
+        for ri, rule in enumerate(rule_objs):
+            job_r, sid_r, cid_r, lens_r, pts_r, a2_r = res[rule]
+            ops.append(job_pid[job_r])
+            orrs.append(np.full(len(job_r), ri, dtype=np.int64))
+            osids.append(sid_r)
+            ocids.append(cid_r)
+            oas.append(a2_r)
+            lens_parts.append(lens_r)
+            pts_parts.append(pts_r)
+        op = np.concatenate(ops)
         m = len(op)
+        lens = np.concatenate(lens_parts) if m else np.empty(0, dtype=np.int64)
         # cumsum in int64 first: an int32 cumsum would wrap silently past 2^31
         # total output points and corrupt the ListArray offsets (ADVICE r04)
         offs64 = np.zeros(m + 1, dtype=np.int64)
@@ -400,24 +405,35 @@ def overlay_grouped_rows(
                     "repartition the input finer (list offsets are int32)"
                 )
         offs_out = offs64.astype(np.int32)
-        ovx = np.concatenate(rxs) if m else np.empty(0, dtype=np.int64)
-        ovy = np.concatenate(rys) if m else np.empty(0, dtype=np.int64)
+        PTS = (
+            np.concatenate(pts_parts, axis=0)
+            if m
+            else np.empty((0, 2), dtype=np.int64)
+        )
         po = pa.array(offs_out)
+        # rule column as a dictionary decode — vectorized C++ cast, no python loop
+        rule_dict = (
+            pa.DictionaryArray.from_arrays(
+                pa.array(np.concatenate(orrs).astype(np.int32, copy=False)),
+                pa.array(rule_vals, type=pa.string()),
+            ).cast(pa.string())
+            if m
+            else pa.array([], type=pa.string())
+        )
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array(np.asarray(op, dtype=np.int64)),
-                pa.array(orr, type=pa.string()),
-                pa.array(np.asarray(osid, dtype=np.int64)),
-                pa.array(np.asarray(ocid, dtype=np.int32)),
-                pa.ListArray.from_arrays(po, pa.array(np.ascontiguousarray(ovx))),
-                pa.ListArray.from_arrays(po, pa.array(np.ascontiguousarray(ovy))),
-                pa.array(np.asarray(oa, dtype=np.int64)),
+                pa.array(op),
+                rule_dict,
+                pa.array(np.concatenate(osids).astype(np.int64, copy=False)),
+                pa.array(np.concatenate(ocids).astype(np.int32, copy=False)),
+                pa.ListArray.from_arrays(po, pa.array(np.ascontiguousarray(PTS[:, 0]))),
+                pa.ListArray.from_arrays(po, pa.array(np.ascontiguousarray(PTS[:, 1]))),
+                pa.array(np.concatenate(oas).astype(np.int64, copy=False)),
             ],
             names=["pair_id", "rule", "shape_id", "contour_idx", "pts_x", "pts_y", "area2"],
         )
 
-    return (
-        rows.select("pair_id", "role", "pts_x", "pts_y")
-        .repartition(parts, "pair_id")
-        .mapInArrow(kernel, schema=SHAPES_OUT_SCHEMA)
-    )
+    src = rows.select("pair_id", "role", "pts_x", "pts_y")
+    if not pre_grouped:
+        src = src.repartition(parts, "pair_id")
+    return src.mapInArrow(kernel, schema=SHAPES_OUT_SCHEMA)
