@@ -143,7 +143,8 @@ def _split_batch(segs: Segments, max_rounds: int = 64) -> Segments:
         if len(ci):
             keep = _interacting(segs, ci, cj)
             ci, cj = ci[keep], cj[keep]
-        marks: list[tuple[int, int, int]] = []
+        n_marks = 0
+        marks: tuple = ()
         need_fix = False
         if len(ci):
             # vectorized exact solver (A7) — per-pair python-int only on the rare
@@ -155,8 +156,10 @@ def _split_batch(segs: Segments, max_rounds: int = 64) -> Segments:
             )
             need_fix = bool(rnd.any())
             seg_idx = np.where(which == 0, ci[pid], cj[pid])
-            marks = list(zip(seg_idx.tolist(), mx.tolist(), my.tolist()))
-        if not marks:
+            # array triple straight into _apply_marks — no per-mark python
+            marks = (seg_idx, mx, my)
+            n_marks = len(seg_idx)
+        if not n_marks:
             return segs
         segs = sort_and_merge(_apply_marks(segs, marks))
         exp = min(60, exp + 1)

@@ -338,11 +338,20 @@ def _apply_marks(segs: Segments, marks: list[tuple[int, int, int]]) -> Segments:
     Vectorized: dedupe + per-segment ordering via one lexsort, chains assembled
     as one flat (a, marks..., b) point array, consecutive pairs by slicing —
     the per-mark python walk this replaces (kept as _apply_marks_ref, the
-    differential ground truth) dominated heavy split rounds."""
-    if not len(marks):
-        return segs
-    m = np.asarray(marks, dtype=np.int64).reshape(-1, 3)
-    mi, mx, my = m[:, 0], m[:, 1], m[:, 2]
+    differential ground truth) dominated heavy split rounds.
+
+    marks is either a list of (seg_idx, x, y) tuples (scalar path) or a
+    (seg_idx, x, y) triple of int64 arrays (the vectorized solver's native
+    output — no per-mark python round-trip)."""
+    if isinstance(marks, tuple):
+        mi, mx, my = (np.asarray(a, dtype=np.int64) for a in marks)
+        if len(mi) == 0:
+            return segs
+    else:
+        if not len(marks):
+            return segs
+        m = np.asarray(marks, dtype=np.int64).reshape(-1, 3)
+        mi, mx, my = m[:, 0], m[:, 1], m[:, 2]
     # drop marks at the segment's own endpoints
     at_end = ((mx == segs.ax[mi]) & (my == segs.ay[mi])) | (
         (mx == segs.bx[mi]) & (my == segs.by[mi])
@@ -473,7 +482,8 @@ def split_segments(segs: Segments, start: int = 0, step: int = 1, max_rounds: in
             return segs
         radius = 1 << exp
         pairs = _candidate_pairs(segs)
-        marks: list[tuple[int, int, int]] = []
+        marks: list[tuple[int, int, int]] | tuple = []
+        n_marks = 0
         need_fix = False
         if len(pairs) and vec_ok:
             from .cross_vec import cross_pairs_batch
@@ -486,7 +496,9 @@ def split_segments(segs: Segments, start: int = 0, step: int = 1, max_rounds: in
             )
             need_fix = bool(rnd.any())
             seg_idx = np.where(which == 0, ci[pid], cj[pid])
-            marks = list(zip(seg_idx.tolist(), mx.tolist(), my.tolist()))
+            # array triple straight into _apply_marks — no per-mark python
+            marks = (seg_idx, mx, my)
+            n_marks = len(seg_idx)
         else:
             seg_rows = np.stack([segs.ax, segs.ay, segs.bx, segs.by], axis=1)
             for i, j in pairs:
@@ -498,7 +510,8 @@ def split_segments(segs: Segments, start: int = 0, step: int = 1, max_rounds: in
                 need_fix = need_fix or rnd
                 for which, x, y in pm:
                     marks.append((int(i) if which == 0 else int(j), x, y))
-        if not marks:
+            n_marks = len(marks)
+        if not n_marks:
             return segs
         segs = sort_and_merge(_apply_marks(segs, marks))
         exp = min(60, exp + step)

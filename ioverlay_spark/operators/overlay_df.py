@@ -198,7 +198,7 @@ def overlay_rows(
     def kernel(it):
         import pyarrow as pa
 
-        from ..kernel.batch import overlay_batch_flat
+        from ..kernel.batch import overlay_batch_flat_out
 
         rule_vals = [r.value for r in rule_objs]
 
@@ -236,26 +236,24 @@ def overlay_rows(
             ring_job = np.concatenate([np.arange(n), np.arange(n)])
             ring_subj = np.zeros(2 * n, dtype=bool)
             ring_subj[:n] = True
-            res = overlay_batch_flat(
+            res = overlay_batch_flat_out(
                 P, counts, ring_job, ring_subj, n, rule_objs, fr, options,
-                with_areas=True,
             )
-            op, orr, osid, ocid, oa = [], [], [], [], []
-            rxs, rys, lens = [], [], []
-            for pid, r in zip(pids, res):
-                for ri, rule in enumerate(rule_objs):
-                    shapes, areas = r[rule]
-                    for sid, (shape, s_areas) in enumerate(zip(shapes, areas)):
-                        for cid, (ring, a2) in enumerate(zip(shape, s_areas)):
-                            op.append(pid)
-                            orr.append(rule_vals[ri])
-                            osid.append(sid)
-                            ocid.append(cid)
-                            rxs.append(ring[:, 0])
-                            rys.append(ring[:, 1])
-                            lens.append(len(ring))
-                            oa.append(a2)
+            # flat emission per rule: numpy arrays straight into Arrow, zero
+            # per-ring python (same treatment as overlay_grouped_rows below)
+            ops, orrs, osids, ocids, oas, lens_parts, pts_parts = [], [], [], [], [], [], []
+            for ri, rule in enumerate(rule_objs):
+                job_r, sid_r, cid_r, lens_r, pts_r, a2_r = res[rule]
+                ops.append(pids[job_r])
+                orrs.append(np.full(len(job_r), ri, dtype=np.int64))
+                osids.append(sid_r)
+                ocids.append(cid_r)
+                oas.append(a2_r)
+                lens_parts.append(lens_r)
+                pts_parts.append(pts_r)
+            op = np.concatenate(ops)
             m = len(op)
+            lens = np.concatenate(lens_parts) if m else np.empty(0, dtype=np.int64)
             # cumsum in int64 first: an int32 cumsum would wrap silently past 2^31
             offs64 = np.zeros(m + 1, dtype=np.int64)
             if m:
@@ -266,18 +264,29 @@ def overlay_rows(
                         "repartition the input finer (list offsets are int32)"
                     )
             offs = offs64.astype(np.int32)
-            vx = np.concatenate(rxs) if m else np.empty(0, dtype=np.int64)
-            vy = np.concatenate(rys) if m else np.empty(0, dtype=np.int64)
+            PTS = (
+                np.concatenate(pts_parts, axis=0)
+                if m
+                else np.empty((0, 2), dtype=np.int64)
+            )
             po = pa.array(offs)
+            rule_dict = (
+                pa.DictionaryArray.from_arrays(
+                    pa.array(np.concatenate(orrs).astype(np.int32, copy=False)),
+                    pa.array(rule_vals, type=pa.string()),
+                ).cast(pa.string())
+                if m
+                else pa.array([], type=pa.string())
+            )
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.asarray(op, dtype=np.int64)),
-                    pa.array(orr, type=pa.string()),
-                    pa.array(np.asarray(osid, dtype=np.int64)),
-                    pa.array(np.asarray(ocid, dtype=np.int32)),
-                    pa.ListArray.from_arrays(po, pa.array(np.ascontiguousarray(vx))),
-                    pa.ListArray.from_arrays(po, pa.array(np.ascontiguousarray(vy))),
-                    pa.array(np.asarray(oa, dtype=np.int64)),
+                    pa.array(op),
+                    rule_dict,
+                    pa.array(np.concatenate(osids).astype(np.int64, copy=False)),
+                    pa.array(np.concatenate(ocids).astype(np.int32, copy=False)),
+                    pa.ListArray.from_arrays(po, pa.array(np.ascontiguousarray(PTS[:, 0]))),
+                    pa.ListArray.from_arrays(po, pa.array(np.ascontiguousarray(PTS[:, 1]))),
+                    pa.array(np.concatenate(oas).astype(np.int64, copy=False)),
                 ],
                 names=[
                     "pair_id", "rule", "shape_id", "contour_idx",
