@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     BooleanType,
     IntegerType,
     LongType,
@@ -775,6 +776,209 @@ _FILL_BOUNDARY_ARROW_SCHEMA = pa.schema(
 )
 
 
+def _fill_strips_sorted(
+    ax, ay, bx, by, subj, clip, is_home, s, fill_rule, boundary_rule
+):
+    """Shared strip-fill core: arrays already sorted by strip id `s`; runs the
+    windowed fill per contiguous strip slice and yields the output batches
+    (boundary-filtered when boundary_rule is set). Used by both the row-explode
+    (_strip_fill_iter) and the packed-chain (_packed_fill_iter) shuffles."""
+    from ..kernel.extract import boundary_mask
+    from ..kernel.fill import compute_fills_windowed
+    from ..kernel.segments import Segments
+
+    starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+    bounds = np.append(starts, len(s))
+    outs = []
+    for i in range(len(starts)):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        home = is_home[lo:hi]
+        if not home.any():
+            continue
+        segs = Segments(
+            ax[lo:hi], ay[lo:hi], bx[lo:hi], by[lo:hi], subj[lo:hi], clip[lo:hi]
+        )
+        # threads=1: this kernel already runs on every executor thread in
+        # parallel (one partition per strip group) — nested pools would
+        # oversubscribe the box
+        fills = compute_fills_windowed(segs, fill_rule, allow_sweep=False, threads=1)
+        mask = home
+        if boundary_rule is not None:
+            mask = mask & boundary_mask(fills.astype(np.uint8), boundary_rule)
+            outs.append(
+                (
+                    ax[lo:hi][mask], ay[lo:hi][mask],
+                    bx[lo:hi][mask], by[lo:hi][mask],
+                    fills[mask].astype(np.int32),
+                )
+            )
+        else:
+            outs.append(
+                (
+                    ax[lo:hi][mask], ay[lo:hi][mask],
+                    bx[lo:hi][mask], by[lo:hi][mask],
+                    subj[lo:hi][mask], clip[lo:hi][mask],
+                    fills[mask].astype(np.int32),
+                )
+            )
+    if not outs:
+        return
+    schema = (
+        _FILL_BOUNDARY_ARROW_SCHEMA if boundary_rule is not None else _FILL_ARROW_SCHEMA
+    )
+    cols = [np.concatenate([o[k] for o in outs]) for k in range(len(outs[0]))]
+    yield from pa.Table.from_arrays([pa.array(c) for c in cols], schema=schema).to_batches()
+
+
+# packed strip-chain shuffle rows: one row per (upstream partition, strip)
+# holding the strip's segment arrays as raw little-endian buffers — the
+# shuffle then moves thousands of blob rows instead of millions of segment
+# rows (same payload bytes, none of the per-row serialization)
+PACKED_STRIP_SCHEMA = StructType(
+    [
+        StructField("strip", IntegerType()),
+        StructField("cnt", LongType()),
+        StructField("wc", IntegerType()),  # coord word size: 4 or 8
+        StructField("ww", IntegerType()),  # winding word size: 4 or 8
+        StructField("xy", BinaryType()),  # ax|ay|bx|by, cnt each
+        StructField("sc", BinaryType()),  # subj|clip, cnt each
+        StructField("hm", BinaryType()),  # is_home, cnt uint8
+    ]
+)
+
+
+def _pack_strips_iter(edges):
+    """Map-side pack stage (mapInArrow): compute each segment's strip span
+    (np.searchsorted against the driver's quantile edges — same count-of-
+    edges<=v semantics as _strip_rank_expr), explode via np.repeat, sort by
+    strip ONCE, and emit one binary-blob row per strip present in the
+    partition. Coord/winding words narrow to int32 per partition when the
+    actual values fit (the reader re-widens; fill math is unchanged)."""
+    E = np.asarray(edges, dtype=np.int64)
+
+    def it(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        if not len(tbl):
+            return
+
+        def col(name):
+            return tbl.column(name).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+
+        ax, ay, bx, by = col("ax"), col("ay"), col("bx"), col("by")
+        subj, clip = col("subj"), col("clip")
+        s_lo = np.searchsorted(E, 2 * ax, side="right")
+        s_hi = np.searchsorted(E, 2 * bx, side="right")
+        s_mid = np.searchsorted(E, ax + bx, side="right")
+        copies = s_hi - s_lo + 1
+        total = int(copies.sum())
+        rep = np.repeat(np.arange(len(ax), dtype=np.int64), copies)
+        starts = np.zeros(len(ax), dtype=np.int64)
+        np.cumsum(copies[:-1], out=starts[1:])
+        strip = s_lo[rep] + (np.arange(total, dtype=np.int64) - starts[rep])
+        home = strip == s_mid[rep]
+        order = np.argsort(strip, kind="stable")
+        rep = rep[order]
+        strip_s = strip[order]
+        home = home[order]
+        # per-partition narrowing by the ACTUAL values (no global gate needed)
+        cmax = max(
+            int(np.abs(a).max(initial=0)) for a in (ax, ay, bx, by)
+        ) if len(ax) else 0
+        wmax = max(
+            int(np.abs(subj).max(initial=0)), int(np.abs(clip).max(initial=0))
+        ) if len(ax) else 0
+        cdt = np.int32 if cmax < 2**31 else np.int64
+        wdt = np.int32 if wmax < 2**31 else np.int64
+        AX = ax[rep].astype(cdt, copy=False)
+        AY = ay[rep].astype(cdt, copy=False)
+        BX = bx[rep].astype(cdt, copy=False)
+        BY = by[rep].astype(cdt, copy=False)
+        SU = subj[rep].astype(wdt, copy=False)
+        CL = clip[rep].astype(wdt, copy=False)
+        HM = home.astype(np.uint8)
+        sb = np.flatnonzero(np.concatenate([[True], strip_s[1:] != strip_s[:-1]]))
+        se = np.append(sb, total)
+        r_strip, r_cnt, r_xy, r_sc, r_hm = [], [], [], [], []
+        for i in range(len(sb)):
+            lo, hi = int(se[i]), int(se[i + 1])
+            r_strip.append(int(strip_s[lo]))
+            r_cnt.append(hi - lo)
+            r_xy.append(
+                np.concatenate([AX[lo:hi], AY[lo:hi], BX[lo:hi], BY[lo:hi]]).tobytes()
+            )
+            r_sc.append(np.concatenate([SU[lo:hi], CL[lo:hi]]).tobytes())
+            r_hm.append(HM[lo:hi].tobytes())
+        k = len(r_strip)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.asarray(r_strip, dtype=np.int32)),
+                pa.array(np.asarray(r_cnt, dtype=np.int64)),
+                pa.array(np.full(k, cdt().itemsize, dtype=np.int32)),
+                pa.array(np.full(k, wdt().itemsize, dtype=np.int32)),
+                pa.array(r_xy, type=pa.binary()),
+                pa.array(r_sc, type=pa.binary()),
+                pa.array(r_hm, type=pa.binary()),
+            ],
+            names=["strip", "cnt", "wc", "ww", "xy", "sc", "hm"],
+        )
+
+    return it
+
+
+def _packed_fill_iter(fill_rule: FillRule, boundary_rule: OverlayRule | None = None):
+    """Reduce-side unpack + fill (mapInArrow over PACKED_STRIP_SCHEMA rows):
+    parse each blob row back to arrays (np.frombuffer memcpy), concatenate the
+    rows of each strip in strip order, and run the shared strip-fill core."""
+
+    def it(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks).combine_chunks()
+        if not len(tbl):
+            return
+        strips = tbl.column("strip").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnts = tbl.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        wcs = tbl.column("wc").to_numpy(zero_copy_only=False)
+        wws = tbl.column("ww").to_numpy(zero_copy_only=False)
+        xyc = tbl.column("xy")
+        scc = tbl.column("sc")
+        hmc = tbl.column("hm")
+        order = np.argsort(strips, kind="stable")
+        p_ax, p_ay, p_bx, p_by, p_su, p_cl, p_hm, p_s = (
+            [], [], [], [], [], [], [], []
+        )
+        for r in order.tolist():
+            n = int(cnts[r])
+            cdt = np.int32 if int(wcs[r]) == 4 else np.int64
+            wdt = np.int32 if int(wws[r]) == 4 else np.int64
+            xy = np.frombuffer(xyc[r].as_py(), dtype=cdt).astype(np.int64, copy=False)
+            sc = np.frombuffer(scc[r].as_py(), dtype=wdt).astype(np.int64, copy=False)
+            p_ax.append(xy[:n])
+            p_ay.append(xy[n : 2 * n])
+            p_bx.append(xy[2 * n : 3 * n])
+            p_by.append(xy[3 * n :])
+            p_su.append(sc[:n])
+            p_cl.append(sc[n:])
+            p_hm.append(np.frombuffer(hmc[r].as_py(), dtype=np.uint8))
+            p_s.append(np.full(n, strips[r], dtype=np.int64))
+        yield from _fill_strips_sorted(
+            np.concatenate(p_ax), np.concatenate(p_ay),
+            np.concatenate(p_bx), np.concatenate(p_by),
+            np.concatenate(p_su), np.concatenate(p_cl),
+            np.concatenate(p_hm).astype(bool),
+            np.concatenate(p_s),
+            fill_rule, boundary_rule,
+        )
+
+    return it
+
+
 def _strip_fill_iter(fill_rule: FillRule, boundary_rule: OverlayRule | None = None):
     """Partition-level strip fill (mapInArrow): the partition holds whole
     strips (repartition on the strip key); the python side sorts by strip ONCE
@@ -790,9 +994,6 @@ def _strip_fill_iter(fill_rule: FillRule, boundary_rule: OverlayRule | None = No
 
     boundary_rule: extraction's boundary filter pushed into the kernel — the
     stage ships only result-boundary rows (extract takes pre_filtered=True)."""
-    from ..kernel.extract import boundary_mask
-    from ..kernel.fill import compute_fills_windowed
-    from ..kernel.segments import Segments
 
     def it(batches):
         chunks = list(batches)
@@ -809,61 +1010,11 @@ def _strip_fill_iter(fill_rule: FillRule, boundary_rule: OverlayRule | None = No
 
         strip = col("strip", np.int64)
         order = np.argsort(strip, kind="stable")
-        ax = col("ax")[order]
-        ay = col("ay")[order]
-        bx = col("bx")[order]
-        by = col("by")[order]
-        subj = col("subj")[order]
-        clip = col("clip")[order]
-        is_home = col("is_home", bool)[order]
-        s = strip[order]
-        starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
-        bounds = np.append(starts, len(s))
-        outs = []
-        for i in range(len(starts)):
-            lo, hi = int(bounds[i]), int(bounds[i + 1])
-            home = is_home[lo:hi]
-            if not home.any():
-                continue
-            segs = Segments(
-                ax[lo:hi], ay[lo:hi], bx[lo:hi], by[lo:hi], subj[lo:hi], clip[lo:hi]
-            )
-            # threads=1: this kernel already runs on every executor thread in
-            # parallel (one partition per strip group) — nested pools would
-            # oversubscribe the box
-            fills = compute_fills_windowed(
-                segs, fill_rule, allow_sweep=False, threads=1
-            )
-            mask = home
-            if boundary_rule is not None:
-                mask = mask & boundary_mask(fills.astype(np.uint8), boundary_rule)
-                outs.append(
-                    (
-                        ax[lo:hi][mask], ay[lo:hi][mask],
-                        bx[lo:hi][mask], by[lo:hi][mask],
-                        fills[mask].astype(np.int32),
-                    )
-                )
-            else:
-                outs.append(
-                    (
-                        ax[lo:hi][mask], ay[lo:hi][mask],
-                        bx[lo:hi][mask], by[lo:hi][mask],
-                        subj[lo:hi][mask], clip[lo:hi][mask],
-                        fills[mask].astype(np.int32),
-                    )
-                )
-        if not outs:
-            return
-        schema = (
-            _FILL_BOUNDARY_ARROW_SCHEMA
-            if boundary_rule is not None
-            else _FILL_ARROW_SCHEMA
+        yield from _fill_strips_sorted(
+            col("ax")[order], col("ay")[order], col("bx")[order], col("by")[order],
+            col("subj")[order], col("clip")[order], col("is_home", bool)[order],
+            strip[order], fill_rule, boundary_rule,
         )
-        cols = [np.concatenate([o[k] for o in outs]) for k in range(len(outs[0]))]
-        yield from pa.Table.from_arrays(
-            [pa.array(c) for c in cols], schema=schema
-        ).to_batches()
 
     return it
 
@@ -987,6 +1138,29 @@ def compute_fills_df(
     else:
         edges = []
 
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    packed = (
+        bool(edges)
+        and os.environ.get("SPARK_GRAFT_FILL_PACKED", "1") != "0"
+    )
+    if packed:
+        # PACKED strip-chain shuffle (VERDICT r04 #4): the strip span, the
+        # explode, and the is_home flag all move python-side into one
+        # mapInArrow pack stage that emits a single binary-blob row per
+        # (upstream partition, strip) — the strip hash shuffle then carries
+        # thousands of blob rows instead of millions of segment rows (same
+        # payload bytes, none of the per-row serialization, no codegen
+        # bsearch over every exploded row). The reduce side parses the blobs
+        # (np.frombuffer memcpy) and runs the same strip-fill core.
+        return (
+            segs.select("ax", "ay", "bx", "by", "subj", "clip")
+            .mapInArrow(_pack_strips_iter(edges), schema=PACKED_STRIP_SCHEMA)
+            .repartition(n_part, "strip")
+            .mapInArrow(
+                _packed_fill_iter(fill_rule, boundary_rule),
+                schema=FILL_BOUNDARY_SCHEMA if boundary_rule is not None else FILL_SCHEMA,
+            )
+        )
     if edges:
         # strip index of a doubled-x value: a pure Column expression inside
         # whole-stage codegen. This replaces, in order of history: an
@@ -1045,7 +1219,6 @@ def compute_fills_df(
         .withColumn("is_home", F.col("strip") == F.col("s_mid"))
         .select(*out_cols)
     )
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
         # ONE hash shuffle on the strip key; strips are grouped python-side
         # inside the partition (see _strip_fill_iter)

@@ -112,6 +112,51 @@ def test_distributed_fills_match_kernel(spark, board):
     assert got == exp
 
 
+def test_packed_fill_matches_legacy_explode(spark, board):
+    """The packed blob shuffle (default) and the legacy row-explode shuffle
+    must produce the identical fill multiset — including a wide-coordinate
+    segment that defeats the pack stage's per-partition int32 narrowing and a
+    boundary_rule push-down on both paths."""
+    import os
+
+    from ioverlay_spark.options import FillRule, OverlayRule
+    from ioverlay_spark.operators.distributed import (
+        compute_fills_df,
+        contours_to_segments_df,
+        split_segments_df,
+    )
+
+    _, _, df = board
+    split = split_segments_df(contours_to_segments_df(spark, df)).localCheckpoint()
+
+    def run(br=None):
+        pdf = compute_fills_df(split, FillRule.EVEN_ODD, n_strips=5, boundary_rule=br).toPandas()
+        cols = ["ax", "ay", "bx", "by", "fill"]
+        return sorted(map(tuple, pdf[cols].to_numpy().tolist()))
+
+    for br in (None, OverlayRule.UNION):
+        packed = run(br)
+        os.environ["SPARK_GRAFT_FILL_PACKED"] = "0"
+        try:
+            legacy = run(br)
+        finally:
+            os.environ.pop("SPARK_GRAFT_FILL_PACKED", None)
+        assert packed == legacy and len(packed) > 0
+
+    # wide coordinates (beyond int32) keep 8-byte words through the pack stage
+    wide = spark.createDataFrame(
+        [
+            (0, 0, 2**40, 2**40, 1, 0),
+            (0, 2**40, 2**40, 0, 1, 0),
+            (0, 0, 2**40, 0, 1, 0),
+        ],
+        ["ax", "ay", "bx", "by", "subj", "clip"],
+    )
+    got = compute_fills_df(wide, FillRule.EVEN_ODD, n_strips=2).toPandas()
+    assert len(got) == 3
+    assert got["ax"].min() >= 0 and got["bx"].max() == 2**40
+
+
 def test_distributed_fills_match_kernel_long_chords(spark):
     """Regression: the strip fill must NOT use the sweep path (sweep windings
     propagate at insertion x, which needs the FULL set — a strip group only
