@@ -186,19 +186,62 @@ def _fills_batch(segs: Segments, fill_rule: FillRule, tile_lo: np.ndarray) -> np
     wind_s = np.zeros(n, dtype=np.int64)
     wind_c = np.zeros(n, dtype=np.int64)
     if total:
-        q = np.repeat(np.arange(n, dtype=np.int64), counts)
         cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
-        t = np.arange(total, dtype=np.int64) - cum[q] + tile_lo[q]
-        dt = bx[t] - ax[t]
-        m = (dt > 0) & (Xi[q] < 2 * bx[t])  # non-vertical t, span upper bound
-        if m.any():
-            q, t, dt = q[m], t[m], dt[m]
-            num = 2 * ay[t] * dt + (by[t] - ay[t]) * (Xi[q] - 2 * ax[t])
+        subj_f = segs.subj.astype(np.float64)
+        clip_f = segs.clip.astype(np.float64)
+
+        def _chunk(qlo: int, qhi: int):
+            # enumerate the [qlo, qhi) rows' windows; bincount with float
+            # weights replaces np.add.at (unbuffered ufunc.at is ~5-10x
+            # slower) — winding sums stay exact: |weights| are tiny ints and
+            # any partial sum is far under 2^53
+            cnt = counts[qlo:qhi]
+            tt = int(cum[qhi] - cum[qlo])
+            if not tt:
+                return None
+            q = np.repeat(np.arange(qlo, qhi, dtype=np.int64), cnt)
+            t = np.arange(tt, dtype=np.int64) - (cum[q] - cum[qlo]) + tile_lo[q]
+            dt = bx[t] - ax[t]
+            Xq = Xi[q]
+            m = (dt > 0) & (Xq < 2 * bx[t])  # non-vertical t, span upper bound
+            if not m.any():
+                return None
+            q, t, dt, Xq = q[m], t[m], dt[m], Xq[m]
+            num = 2 * ay[t] * dt + (by[t] - ay[t]) * (Xq - 2 * ax[t])
             below = num < Yi[q] * dt
-            if below.any():
-                q, t = q[below], t[below]
-                np.add.at(wind_s, q, segs.subj[t])
-                np.add.at(wind_c, q, segs.clip[t])
+            if not below.any():
+                return None
+            q, t = q[below], t[below]
+            q -= qlo
+            ln = qhi - qlo
+            ws = np.bincount(q, weights=subj_f[t], minlength=ln).astype(np.int64)
+            wc = np.bincount(q, weights=clip_f[t], minlength=ln).astype(np.int64)
+            return qlo, ln, ws, wc
+
+        # chunk by window totals: bounds peak temporaries to ~8 arrays x
+        # chunk pairs, and the chunks thread (pure numpy, GIL released)
+        from .fill import _resolve_fill_threads
+
+        target = 8_000_000
+        bnds = [0]
+        while bnds[-1] < n:
+            stop = int(np.searchsorted(cum, cum[bnds[-1]] + target, side="left"))
+            bnds.append(min(max(stop, bnds[-1] + 1), n))
+        spans = list(zip(bnds[:-1], bnds[1:]))
+        k = min(_resolve_fill_threads(None, total), len(spans))
+        if k > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(k) as ex:
+                results = list(ex.map(lambda se: _chunk(*se), spans))
+        else:
+            results = [_chunk(*se) for se in spans]
+        for r in results:
+            if r is None:
+                continue
+            qlo, ln, ws, wc = r
+            wind_s[qlo : qlo + ln] += ws
+            wind_c[qlo : qlo + ln] += wc
     top_s = wind_s + segs.subj
     top_c = wind_c + segs.clip
     return (

@@ -183,6 +183,20 @@ def _candidate_pairs_grid(
         shift += 1
     else:
         return None
+    # then SHRINK to the finest grid still inside the budget: when bbox sizes
+    # span decades (nested/concentric rings) the median start leaves a handful
+    # of giant cells holding ~everything, and within-cell enumeration goes
+    # quadratic no matter the window order — finer cells cut the crowding at
+    # the same cover-row cost (measured 11x on the nested_squares scenario)
+    while shift > 1:
+        wx2 = (bx >> (shift - 1)) - (ax >> (shift - 1)) + 1
+        wy2 = (ymax >> (shift - 1)) - (ymin >> (shift - 1)) + 1
+        c2 = wx2 * wy2
+        t2 = int(c2.sum())
+        if t2 > budget:
+            break
+        shift -= 1
+        wx, wy, c, total = wx2, wy2, c2, t2
     cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(c)])
     rep = np.repeat(np.arange(n, dtype=np.int64), c)
     k = np.arange(total, dtype=np.int64) - cum[rep]
@@ -206,12 +220,34 @@ def _candidate_pairs_grid(
     member = rep[order]
     gx = gx[order]
     gy = gy[order]
-    # group boundaries -> within-group "each row pairs with all later rows"
     first = np.concatenate([[True], key[1:] != key[:-1]])
     starts = np.flatnonzero(first)
     bounds = np.concatenate([starts, [total]])
     grp_of = np.cumsum(first) - 1  # O(total), replaces a searchsorted per row
-    pc = bounds[grp_of + 1] - np.arange(total, dtype=np.int64) - 1
+    # Within-cell Y-WINDOW enumeration (not all-pairs): sort each cell's
+    # members by ymin, then row r only pairs with the later rows whose
+    # ymin <= ymax_r — for j > r in ymin order, y-overlap holds iff
+    # ymin_j <= ymax_r, so the window is exactly the y-overlapping superset
+    # and stays CONTIGUOUS after r. Nested/concentric inputs (every segment
+    # sharing a coarse cell, y-disjoint bboxes) collapse from quadratic
+    # within-cell pairing to near-linear. Implemented as ONE global
+    # searchsorted over a group-lifted composite (each group's ymin block
+    # lifted by grp_of * OFFSET keeps the array globally sorted).
+    y0 = int(ymin.min())
+    yrange = int(ymax.max()) - y0 + 2
+    n_grp = int(grp_of[-1]) + 1 if total else 0
+    if total and n_grp * yrange < (1 << 62):
+        lift = grp_of * yrange
+        ysort = np.argsort(lift + (ymin[member] - y0), kind="stable")
+        member = member[ysort]
+        gx = gx[ysort]
+        gy = gy[ysort]
+        ylift = lift + (ymin[member] - y0)
+        hi = np.searchsorted(ylift, lift + (ymax[member] - y0), side="right")
+        pc = hi - np.arange(total, dtype=np.int64) - 1
+    else:
+        # wide-coordinate fallback: full triangular within-cell pairing
+        pc = bounds[grp_of + 1] - np.arange(total, dtype=np.int64) - 1
     ptot = int(pc.sum())
     if ptot >= est_x:
         return None
