@@ -348,10 +348,22 @@ def _windings_segtree(
     szlog = (int(nP).bit_length() - 1) - depth
     nlo = (node << szlog) - nP
     nhi = np.minimum(nlo + (np.int64(1) << szlog), nL)
-    m_num = B[nlo] + B[nhi]
+    # NUM = 4*tay[sid]*edt + edy*(m_num - 4*tax[sid]), built in place: the
+    # expression form allocates ~8 M-sized temporaries (page-fault bound on
+    # one-shots); this form touches 3. Products identical (int64 throughout).
     edt = (tbx - tax)[sid]
     edy = (tby - tay)[sid]
-    NUM = 4 * tay[sid] * edt + edy * (m_num - 4 * tax[sid])
+    NUM = B[nlo]
+    NUM += B[nhi]  # m_num
+    tmp = tax[sid]
+    tmp <<= 2  # 4*tax[sid] (local coords are >= 0)
+    NUM -= tmp
+    NUM *= edy
+    np.take(tay, sid, out=tmp)
+    tmp <<= 2
+    tmp *= edt
+    NUM += tmp
+    del tmp
     DEN = 2 * edt
     # (node, y) sort. Fast path: pack node | y-fraction | index into ONE uint64
     # and np.sort it — a direct sort of packed keys is ~7x an indirect float
@@ -363,24 +375,30 @@ def _windings_segtree(
     yf = NUM / DEN
     ylo = float(yf.min())
     yspan = float(yf.max()) - ylo
-    frac = (yf - ylo) / (yspan * (1.0 + 1e-6) + 1e-300)
     M = len(node)
     bits_node = int(2 * nP).bit_length()
     bits_idx = max(M - 1, 1).bit_length()
     bits_frac = 64 - bits_node - bits_idx
     if bits_frac >= 12:
-        fscale = float(1 << bits_frac)
-        fint = np.minimum(
-            (frac * fscale).astype(np.uint64), np.uint64((1 << bits_frac) - 1)
-        )
-        key = (
-            (node.astype(np.uint64) << np.uint64(bits_frac + bits_idx))
-            | (fint << np.uint64(bits_idx))
-            | np.arange(M, dtype=np.uint64)
-        )
+        # fused (yf-ylo)*(fscale/denom) — one temporary instead of four; the
+        # low-bit rounding difference vs the two-step form lands inside the
+        # fraction's resolution and is repaired by the exact verification
+        fscale = float(1 << bits_frac) / (yspan * (1.0 + 1e-6) + 1e-300)
+        sc = yf - ylo
+        sc *= fscale
+        fint = sc.astype(np.uint64)
+        del sc
+        np.minimum(fint, np.uint64((1 << bits_frac) - 1), out=fint)
+        key = node.astype(np.uint64)
+        key <<= np.uint64(bits_frac + bits_idx)
+        fint <<= np.uint64(bits_idx)
+        key |= fint
+        del fint
+        key |= np.arange(M, dtype=np.uint64)
         key.sort()
         order = (key & np.uint64((1 << bits_idx) - 1)).astype(np.int64)
     else:
+        frac = (yf - ylo) / (yspan * (1.0 + 1e-6) + 1e-300)
         order = np.argsort(node + frac, kind="stable")
         if not np.all(np.diff(node[order]) >= 0):
             order = np.lexsort((yf, node))

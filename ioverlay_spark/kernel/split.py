@@ -19,6 +19,8 @@ cell inside applyInPandas (SURVEY.md A6).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .segments import Segments, sort_and_merge
@@ -252,8 +254,18 @@ def _candidate_pairs_grid(
     if ptot >= est_x:
         return None
     pcum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(pc)])
+    # chunk budget: small enough that a big job yields ~3 chunks per worker
+    # thread (the mask work releases the GIL, see below) while keeping each
+    # chunk's materialized index arrays bounded (~2M rows max either way)
+    env_k = int(os.environ.get("SPARK_GRAFT_FILL_THREADS", "0"))
+    if env_k > 0:
+        k = env_k
+    elif ptot >= 600_000:
+        k = min(8, os.cpu_count() or 1)
+    else:
+        k = 1
+    pair_budget = 2_000_000 if k <= 1 else max(250_000, ptot // (3 * k) + 1)
     bnds = [0]
-    pair_budget = 2_000_000
     while bnds[-1] < total:
         start = bnds[-1]
         stop = int(np.searchsorted(pcum, pcum[start] + pair_budget, side="left"))
@@ -291,10 +303,8 @@ def _candidate_pairs_grid(
 
     spans = list(zip(bnds[:-1], bnds[1:]))
     # the mask work is gather/bandwidth-bound numpy (GIL released): thread the
-    # chunks on the big scalar/one-task jobs, same policy as the segtree fill
-    from .fill import _resolve_fill_threads
-
-    k = min(_resolve_fill_threads(None, ptot), len(spans))
+    # chunks on the big scalar/one-task jobs (k sized with the budget above)
+    k = min(k, len(spans))
     if k > 1:
         from concurrent.futures import ThreadPoolExecutor
 
