@@ -26,8 +26,9 @@ Scaling workload (VERDICT r04 "Next #1"): the flagship overlay at sf0.1 got fast
 enough (~3.2 s at local[16]) that Spark fixed costs + host noise dominated the
 r04 measurement (driver-recorded efficiency 0.781 < 0.8 while repo audits read
 0.83-0.94). The scaling halves therefore run the SAME flagship pipeline on a
-SPARK_GRAFT_SCALE_REPS-times larger input (default 4x -> ~1.83M overlay jobs,
-local[16] half >= ~12 s), derived deterministically from the same id stream.
+SPARK_GRAFT_SCALE_REPS-times larger input (default 8x -> ~3.66M overlay jobs,
+local[16] half >= ~13 s after the round-5 flat-out emission made the flagship
+~1.3x faster again), derived deterministically from the same id stream.
 Each half does one warm pass on the 1x subset (worker-pool/JIT warmup) then
 SPARK_GRAFT_SCALE_RUNS timed full passes (default 1; min across attempts is the
 estimator, see the measurement-model comment in main()).
@@ -238,7 +239,7 @@ def run_suite(cpus: int, overlay_only: bool = False) -> dict:
     # stream (deterministic: li_id*reps+r), sized so the local[16] half exceeds
     # the host's fixed-cost noise floor (VERDICT r04 Next #1); the 1x input is
     # kept as the warm pass
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4")) if overlay_only else 1
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "8")) if overlay_only else 1
     if reps > 1:
         overlay_ids = (
             lineitem.selectExpr("li_id", f"explode(sequence(0, {reps - 1})) AS r")

@@ -601,32 +601,126 @@ def _fused_extract_kernel(rule: OverlayRule, options: OverlayOptions):
         bx = _col_np(tbl, "bx")
         by = _col_np(tbl, "by")
         fills_arr = _col_np(tbl, "fill", np.uint8)
-        cmax = max(
-            int(np.abs(ax).max()), int(np.abs(ay).max()),
-            int(np.abs(bx).max()), int(np.abs(by).max()),
-        )
-        if cmax < _NODE_CAP:
-            u = (ax + _NODE_CAP) * (2 * _NODE_CAP) + (ay + _NODE_CAP)
-            v = (bx + _NODE_CAP) * (2 * _NODE_CAP) + (by + _NODE_CAP)
-        else:
-            pts = np.stack(
-                [np.concatenate([ax, bx]), np.concatenate([ay, by])], axis=1
-            )
-            _, inv = np.unique(pts, axis=0, return_inverse=True)
-            u, v = inv[: len(ax)].astype(np.int64), inv[len(ax):].astype(np.int64)
-        nodes, parent = _cc_label_arrays(u, v)
-        comp_of_u = nodes[parent[np.searchsorted(nodes, u)]]
-        # this kernel owns the ONE task of its stage (repartition(1)) — the
-        # rest of the executor is idle, so the component walk threads out
-        threads = int(
-            os.environ.get("SPARK_GRAFT_EXTRACT_THREADS", "0")
-        ) or min(8, os.cpu_count() or 1)
-        return _extract_rings_core(
-            rule, options, comp_of_u, ax, ay, bx, by, fills_arr, 0,
-            threads=threads,
-        )
+        return _fused_extract_arrays(rule, options, ax, ay, bx, by, fills_arr)
 
     return run
+
+
+def _fused_extract_arrays(
+    rule: OverlayRule,
+    options: OverlayOptions,
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+    fills_arr: np.ndarray,
+) -> pa.Table:
+    """Array-form body of the fused single-task extract (shared by the Arrow
+    row feed and the packed-blob feed)."""
+    cmax = max(
+        int(np.abs(ax).max()), int(np.abs(ay).max()),
+        int(np.abs(bx).max()), int(np.abs(by).max()),
+    )
+    if cmax < _NODE_CAP:
+        u = (ax + _NODE_CAP) * (2 * _NODE_CAP) + (ay + _NODE_CAP)
+        v = (bx + _NODE_CAP) * (2 * _NODE_CAP) + (by + _NODE_CAP)
+    else:
+        pts = np.stack(
+            [np.concatenate([ax, bx]), np.concatenate([ay, by])], axis=1
+        )
+        _, inv = np.unique(pts, axis=0, return_inverse=True)
+        u, v = inv[: len(ax)].astype(np.int64), inv[len(ax):].astype(np.int64)
+    nodes, parent = _cc_label_arrays(u, v)
+    comp_of_u = nodes[parent[np.searchsorted(nodes, u)]]
+    # this kernel owns the ONE task of its stage (repartition(1)) — the
+    # rest of the executor is idle, so the component walk threads out
+    threads = int(
+        os.environ.get("SPARK_GRAFT_EXTRACT_THREADS", "0")
+    ) or min(8, os.cpu_count() or 1)
+    return _extract_rings_core(
+        rule, options, comp_of_u, ax, ay, bx, by, fills_arr, 0,
+        threads=threads,
+    )
+
+
+_PACKED_BOUNDARY_SCHEMA = "n long, blob binary"
+
+
+def _pack_boundary_kernel(coord_bytes: int):
+    """Per-partition boundary pack: the fused extract's repartition(1) would
+    ship millions of 5-column UnsafeRows through the JVM shuffle and convert
+    them row->Arrow onto ONE python worker — both serialize on that worker's
+    stage. Packing each upstream partition's columns into a single binary blob
+    row (ax|ay|bx|by|fill, numpy buffers end-to-end) makes the exchange carry
+    ~one row per partition at the same payload bytes, and the single task's
+    ingest becomes np.frombuffer slices instead of a row parse. Same trick as
+    the packed strip-chain fill shuffle (BENCH.md round 5 #2)."""
+    cdt = np.int32 if coord_bytes == 4 else np.int64
+
+    def it(batches):
+        cols: dict[str, list[np.ndarray]] = {
+            k: [] for k in ("ax", "ay", "bx", "by", "fill")
+        }
+        n = 0
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            t = pa.Table.from_batches([rb])
+            n += rb.num_rows
+            for k in ("ax", "ay", "bx", "by"):
+                cols[k].append(_col_np(t, k).astype(cdt, copy=False))
+            cols["fill"].append(_col_np(t, "fill", np.uint8))
+        if not n:
+            return
+        blob = b"".join(
+            np.concatenate(cols[k]).tobytes()
+            for k in ("ax", "ay", "bx", "by", "fill")
+        )
+        yield pa.RecordBatch.from_pydict(
+            {"n": pa.array([n], pa.int64()), "blob": pa.array([blob], pa.binary())}
+        )
+
+    return it
+
+
+def _fused_extract_packed_kernel(
+    rule: OverlayRule, options: OverlayOptions, coord_bytes: int
+):
+    """Unpack the per-partition boundary blobs (zero-copy np.frombuffer
+    slices) and run the fused CC+walk on the concatenated arrays."""
+    cdt = np.int32 if coord_bytes == 4 else np.int64
+
+    def it(batches):
+        parts: list[tuple[np.ndarray, ...]] = []
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            t = pa.Table.from_batches([rb])
+            ns = t.column("n").to_pylist()
+            col = t.column("blob")
+            for ci, chunk in enumerate(col.chunks if hasattr(col, "chunks") else [col]):
+                for i in range(len(chunk)):
+                    sc = chunk[i]
+                    buf = sc.as_buffer() if hasattr(sc, "as_buffer") else sc.as_py()
+                    n = ns.pop(0)
+                    cb = n * coord_bytes
+                    arrs = tuple(
+                        np.frombuffer(buf, dtype=cdt, count=n, offset=j * cb)
+                        for j in range(4)
+                    ) + (np.frombuffer(buf, dtype=np.uint8, count=n, offset=4 * cb),)
+                    parts.append(arrs)
+        if not parts:
+            return
+        ax, ay, bx, by = (
+            np.concatenate([p[j] for p in parts]).astype(np.int64, copy=False)
+            for j in range(4)
+        )
+        fills_arr = np.concatenate([p[4] for p in parts])
+        yield from _fused_extract_arrays(
+            rule, options, ax, ay, bx, by, fills_arr
+        ).to_batches()
+
+    return it
 
 
 def _node_expr(x: str, y: str) -> F.Column:
@@ -774,6 +868,13 @@ _FUSED_EXTRACT_CAP = int(os.environ.get("SPARK_GRAFT_FUSED_EXTRACT_EDGES", "8000
 # 1 = run the fused kernel driver-side (toArrow + createDataFrame) instead of
 # on one python worker behind repartition(1); A/B toggle, see BENCH.md round 5
 _FUSED_DRIVER_SIDE = os.environ.get("SPARK_GRAFT_FUSED_DRIVER", "0") == "1"
+
+
+def _extract_packed() -> bool:
+    # packed boundary transfer into the fused task (default on); =0 keeps the
+    # row-form repartition(1) feed for A/B and differentials. Read at call
+    # time so tests can toggle per call (same contract as FILL_PACKED).
+    return os.environ.get("SPARK_GRAFT_EXTRACT_PACKED", "1") == "1"
 # edge count up to which CC runs as ONE union-find task and its comp map is
 # broadcast back (the map is <= 2 longs per edge: ~16 bytes/edge)
 _CC_LOCAL_EDGES = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "4000000"))
@@ -869,6 +970,25 @@ def extract_shapes_df(
                 yield from kern(pa.Table.from_batches(chunks)).to_batches()
 
         audit_desc(fills.sparkSession, "extract:fused walk+ckpt")
+        if _extract_packed() and not _FUSED_DRIVER_SIDE:
+            # packed transfer (default): per-partition numpy blobs instead of
+            # per-row UnsafeRows through the 64->1 exchange; see
+            # _pack_boundary_kernel. SPARK_GRAFT_EXTRACT_PACKED=0 keeps the
+            # row-form feed (A/B + differential tests).
+            coord_bytes = 4 if (cmax is not None and int(cmax) < (1 << 31) - 1) else 8
+            rings = (
+                b.mapInArrow(
+                    _pack_boundary_kernel(coord_bytes),
+                    schema=_PACKED_BOUNDARY_SCHEMA,
+                )
+                .repartition(1)
+                .mapInArrow(
+                    _fused_extract_packed_kernel(rule, options, coord_bytes),
+                    schema=RINGS_SCHEMA,
+                )
+                .localCheckpoint(eager=True)
+            )
+            return _bind_and_project(rings)
         bn = _narrow_boundary(b, cmax)
         if _FUSED_DRIVER_SIDE:
             # A/B alternative: run the fused kernel on the DRIVER python

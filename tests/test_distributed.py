@@ -341,6 +341,48 @@ def test_fused_extract_matches_salted_path(spark, board, monkeypatch):
         assert set(pdf.loc[pdf["is_hole"], "shape_id"]).issubset(hull_ids)
 
 
+def test_fused_extract_packed_matches_row_feed(spark, board, monkeypatch):
+    """The packed-blob boundary transfer (default) must emit exactly the rings
+    of the row-form repartition(1) feed — both the int32-narrowed blob layout
+    (small coords) and the int64 layout (wide coords, > 2^31 grid)."""
+    import ioverlay_spark.operators.distributed_extract as dx
+    from ioverlay_spark.options import FillRule, OverlayRule
+    from ioverlay_spark.operators.distributed import (
+        compute_fills_df,
+        contours_to_segments_df,
+        split_segments_df,
+    )
+
+    def canon(pdf):
+        rows = []
+        for r in pdf.itertuples():
+            pts = sorted(zip(r.pts_x, r.pts_y))
+            rows.append((bool(r.is_hole), int(r.area2), tuple(pts)))
+        return sorted(rows)
+
+    subj, clip, df = board
+    for shift in (0, 1 << 40):  # int32 blob layout, then the wide int64 one
+        sdf = df
+        if shift:
+            sdf = df.selectExpr(
+                "role",
+                "cid",
+                f"transform(pts_x, x -> x + {shift}L) AS pts_x",
+                f"transform(pts_y, y -> y + {shift}L) AS pts_y",
+            )
+        fills = compute_fills_df(
+            split_segments_df(contours_to_segments_df(spark, sdf)),
+            FillRule.EVEN_ODD,
+        ).localCheckpoint(eager=True)
+        monkeypatch.setenv("SPARK_GRAFT_EXTRACT_PACKED", "1")
+        packed = dx.extract_shapes_df(fills, OverlayRule.XOR).toPandas()
+        monkeypatch.setenv("SPARK_GRAFT_EXTRACT_PACKED", "0")
+        row_form = dx.extract_shapes_df(fills, OverlayRule.XOR).toPandas()
+        monkeypatch.delenv("SPARK_GRAFT_EXTRACT_PACKED")
+        assert canon(packed) == canon(row_form)
+        assert len(packed) == 2
+
+
 def lines_net(n: int, a: int = 20):
     """The reference's lines_net scenario (performance/rust_app many_lines_x/y):
     n vertical strips (subject) x n horizontal strips (clip), width a/2 at
