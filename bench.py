@@ -105,7 +105,7 @@ def host_control(tags=("cpu", "membw")) -> dict:
 HOST_GATE = float(os.environ.get("SPARK_GRAFT_HOST_GATE", "3.5"))
 
 
-def wait_for_healthy_host(max_probes: int = 2, cooldown_s: int = 25) -> dict:
+def wait_for_healthy_host(max_probes: int = 5, cooldown_s: int = 25) -> dict:
     """Host-health gate (VERDICT round-1 item 9): the scaling pair is only
     meaningful when the host itself can deliver ~4x from N to 4N procs. Probe the
     pure-CPU control; when it reads below HOST_GATE, cool down and re-probe
