@@ -654,7 +654,8 @@ def _pack_boundary_kernel(coord_bytes: int):
     row (ax|ay|bx|by|fill, numpy buffers end-to-end) makes the exchange carry
     ~one row per partition at the same payload bytes, and the single task's
     ingest becomes np.frombuffer slices instead of a row parse. Same trick as
-    the packed strip-chain fill shuffle (BENCH.md round 5 #2)."""
+    the packed strip-chain fill shuffle (BENCH.md round 5 #2) — but measured
+    a LOSS on this feed (see _extract_packed): kept env-gated off."""
     cdt = np.int32 if coord_bytes == 4 else np.int64
 
     def it(batches):
@@ -871,10 +872,13 @@ _FUSED_DRIVER_SIDE = os.environ.get("SPARK_GRAFT_FUSED_DRIVER", "0") == "1"
 
 
 def _extract_packed() -> bool:
-    # packed boundary transfer into the fused task (default on); =0 keeps the
-    # row-form repartition(1) feed for A/B and differentials. Read at call
-    # time so tests can toggle per call (same contract as FILL_PACKED).
-    return os.environ.get("SPARK_GRAFT_EXTRACT_PACKED", "1") == "1"
+    # packed boundary transfer into the fused task — measured NOT a win here
+    # (unlike the fill shuffle): the boundary feed is already int32-narrowed
+    # and single-pass, so packing adds a second python Arrow round-trip that
+    # costs more than the per-row exchange it removes (same-session A/B at
+    # lines_net n=1024: legacy best 6.19 s vs packed best 8.77 s; BENCH.md
+    # round 5). Default OFF; kept env-gated for A/B and the differential.
+    return os.environ.get("SPARK_GRAFT_EXTRACT_PACKED", "0") == "1"
 # edge count up to which CC runs as ONE union-find task and its comp map is
 # broadcast back (the map is <= 2 longs per edge: ~16 bytes/edge)
 _CC_LOCAL_EDGES = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "4000000"))
@@ -971,13 +975,14 @@ def extract_shapes_df(
 
         audit_desc(fills.sparkSession, "extract:fused walk+ckpt")
         if _extract_packed() and not _FUSED_DRIVER_SIDE:
-            # packed transfer (default): per-partition numpy blobs instead of
-            # per-row UnsafeRows through the 64->1 exchange; see
-            # _pack_boundary_kernel. SPARK_GRAFT_EXTRACT_PACKED=0 keeps the
-            # row-form feed (A/B + differential tests).
+            # packed transfer (env-gated A/B, default OFF — measured slower
+            # than the narrowed row feed, see _extract_packed): per-partition
+            # numpy blobs instead of per-row UnsafeRows through the 64->1
+            # exchange; see _pack_boundary_kernel.
             coord_bytes = 4 if (cmax is not None and int(cmax) < (1 << 31) - 1) else 8
             rings = (
-                b.mapInArrow(
+                _narrow_boundary(b, cmax)
+                .mapInArrow(
                     _pack_boundary_kernel(coord_bytes),
                     schema=_PACKED_BOUNDARY_SCHEMA,
                 )
