@@ -777,12 +777,22 @@ _FILL_BOUNDARY_ARROW_SCHEMA = pa.schema(
 
 
 def _fill_strips_sorted(
-    ax, ay, bx, by, subj, clip, is_home, s, fill_rule, boundary_rule
+    ax, ay, bx, by, subj, clip, is_home, s, fill_rule, boundary_rule,
+    boundary_blob=False,
 ):
     """Shared strip-fill core: arrays already sorted by strip id `s`; runs the
     windowed fill per contiguous strip slice and yields the output batches
     (boundary-filtered when boundary_rule is set). Used by both the row-explode
-    (_strip_fill_iter) and the packed-chain (_packed_fill_iter) shuffles."""
+    (_strip_fill_iter) and the packed-chain (_packed_fill_iter) shuffles.
+
+    boundary_blob=True (requires boundary_rule): instead of per-segment rows,
+    emit ONE BOUNDARY_BLOB_SCHEMA row for the whole partition — the kernel
+    already holds the boundary set as numpy arrays, so packing here costs one
+    concatenate+tobytes and NO extra Arrow crossing (unlike the retired
+    post-checkpoint pack stage, BENCH.md round-5 closing #2). The downstream
+    64->1 exchange into the fused extract then moves ~n_partitions blob rows
+    instead of millions of segment rows, and the boundary checkpoint stores
+    binary blobs instead of per-row UnsafeRows."""
     from ..kernel.extract import boundary_mask
     from ..kernel.fill import compute_fills_windowed
     from ..kernel.segments import Segments
@@ -809,7 +819,7 @@ def _fill_strips_sorted(
                 (
                     ax[lo:hi][mask], ay[lo:hi][mask],
                     bx[lo:hi][mask], by[lo:hi][mask],
-                    fills[mask].astype(np.int32),
+                    fills[mask].astype(np.uint8 if boundary_blob else np.int32),
                 )
             )
         else:
@@ -823,11 +833,46 @@ def _fill_strips_sorted(
             )
     if not outs:
         return
+    if boundary_blob:
+        AX, AY, BX, BY, FL = (
+            np.concatenate([o[k] for o in outs]) for k in range(5)
+        )
+        cmax = max(int(np.abs(c).max(initial=0)) for c in (AX, AY, BX, BY))
+        cdt = np.int32 if cmax < 2**31 else np.int64
+        blob = (
+            b"".join(c.astype(cdt, copy=False).tobytes() for c in (AX, AY, BX, BY))
+            + FL.tobytes()
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([len(AX)], type=pa.int64()),
+                pa.array([cdt().itemsize], type=pa.int32()),
+                pa.array([cmax], type=pa.int64()),
+                pa.array([blob], type=pa.binary()),
+            ],
+            names=["cnt", "wc", "cmax", "xyf"],
+        )
+        return
     schema = (
         _FILL_BOUNDARY_ARROW_SCHEMA if boundary_rule is not None else _FILL_ARROW_SCHEMA
     )
     cols = [np.concatenate([o[k] for o in outs]) for k in range(len(outs[0]))]
     yield from pa.Table.from_arrays([pa.array(c) for c in cols], schema=schema).to_batches()
+
+
+# boundary-blob fill output (compute_fills_df boundary_blob=True): ONE row per
+# fill reduce partition holding the partition's whole boundary set as a raw
+# buffer — ax|ay|bx|by (cnt each, wc-byte words) then fill (cnt uint8). cnt and
+# cmax ride as columns so extract's metadata job is a trivial sum/max over
+# ~n_partitions rows instead of a scan of millions.
+BOUNDARY_BLOB_SCHEMA = StructType(
+    [
+        StructField("cnt", LongType()),
+        StructField("wc", IntegerType()),  # coord word size: 4 or 8
+        StructField("cmax", LongType()),
+        StructField("xyf", BinaryType()),
+    ]
+)
 
 
 # packed strip-chain shuffle rows: one row per (upstream partition, strip)
@@ -930,7 +975,11 @@ def _pack_strips_iter(edges):
     return it
 
 
-def _packed_fill_iter(fill_rule: FillRule, boundary_rule: OverlayRule | None = None):
+def _packed_fill_iter(
+    fill_rule: FillRule,
+    boundary_rule: OverlayRule | None = None,
+    boundary_blob: bool = False,
+):
     """Reduce-side unpack + fill (mapInArrow over PACKED_STRIP_SCHEMA rows):
     parse each blob row back to arrays (np.frombuffer memcpy), concatenate the
     rows of each strip in strip order, and run the shared strip-fill core."""
@@ -973,13 +1022,17 @@ def _packed_fill_iter(fill_rule: FillRule, boundary_rule: OverlayRule | None = N
             np.concatenate(p_su), np.concatenate(p_cl),
             np.concatenate(p_hm).astype(bool),
             np.concatenate(p_s),
-            fill_rule, boundary_rule,
+            fill_rule, boundary_rule, boundary_blob,
         )
 
     return it
 
 
-def _strip_fill_iter(fill_rule: FillRule, boundary_rule: OverlayRule | None = None):
+def _strip_fill_iter(
+    fill_rule: FillRule,
+    boundary_rule: OverlayRule | None = None,
+    boundary_blob: bool = False,
+):
     """Partition-level strip fill (mapInArrow): the partition holds whole
     strips (repartition on the strip key); the python side sorts by strip ONCE
     (numpy, vectorized) and runs the windowed fill kernel per contiguous strip
@@ -1013,7 +1066,7 @@ def _strip_fill_iter(fill_rule: FillRule, boundary_rule: OverlayRule | None = No
         yield from _fill_strips_sorted(
             col("ax")[order], col("ay")[order], col("bx")[order], col("by")[order],
             col("subj")[order], col("clip")[order], col("is_home", bool)[order],
-            strip[order], fill_rule, boundary_rule,
+            strip[order], fill_rule, boundary_rule, boundary_blob,
         )
 
     return it
@@ -1079,6 +1132,7 @@ def compute_fills_df(
     fill_rule: FillRule = FillRule.EVEN_ODD,
     n_strips: int | None = None,
     boundary_rule: OverlayRule | None = None,
+    boundary_blob: bool = False,
 ) -> DataFrame:
     """Distributed winding classification: strip-partition the x-axis on midpoint
     quantiles; every segment is exploded into each strip it crosses and evaluated
@@ -1091,7 +1145,14 @@ def compute_fills_df(
     boundary_rule: when the caller extracts ONE overlay rule next, the
     extraction's boundary filter is pushed into the fill kernel — the stage
     emits only result-boundary segments (extract_shapes_df then takes
-    pre_filtered=True)."""
+    pre_filtered=True).
+
+    boundary_blob: emit BOUNDARY_BLOB_SCHEMA rows (one per reduce partition)
+    instead of per-segment rows — the fill kernel packs its boundary output
+    in-kernel, so the extract checkpoint + 64->1 fused exchange carry blob
+    rows (extract_shapes_df must be told packed_boundary=True)."""
+    if boundary_blob and boundary_rule is None:
+        raise ValueError("boundary_blob requires boundary_rule")
     spark = segs.sparkSession
     n = getattr(segs, "_ioverlay_n_segments", None)
     if n is None and n_strips is None:
@@ -1157,8 +1218,12 @@ def compute_fills_df(
             .mapInArrow(_pack_strips_iter(edges), schema=PACKED_STRIP_SCHEMA)
             .repartition(n_part, "strip")
             .mapInArrow(
-                _packed_fill_iter(fill_rule, boundary_rule),
-                schema=FILL_BOUNDARY_SCHEMA if boundary_rule is not None else FILL_SCHEMA,
+                _packed_fill_iter(fill_rule, boundary_rule, boundary_blob),
+                schema=BOUNDARY_BLOB_SCHEMA
+                if boundary_blob
+                else (
+                    FILL_BOUNDARY_SCHEMA if boundary_rule is not None else FILL_SCHEMA
+                ),
             )
         )
     if edges:
@@ -1224,8 +1289,10 @@ def compute_fills_df(
         # inside the partition (see _strip_fill_iter)
         with_strips.repartition(n_part, "strip")
         .mapInArrow(
-            _strip_fill_iter(fill_rule, boundary_rule),
-            schema=FILL_BOUNDARY_SCHEMA if boundary_rule is not None else FILL_SCHEMA,
+            _strip_fill_iter(fill_rule, boundary_rule, boundary_blob),
+            schema=BOUNDARY_BLOB_SCHEMA
+            if boundary_blob
+            else (FILL_BOUNDARY_SCHEMA if boundary_rule is not None else FILL_SCHEMA),
         )
     )
 
@@ -1354,7 +1421,14 @@ def distributed_overlay(
         # stream the chain explode straight into the shuffle write
         checkpoint_last=False,
     )
-    fills = compute_fills_df(split, fill_rule, boundary_rule=rule)
+    # boundary rows leave the fill kernel as per-partition binary blobs (the
+    # kernel already holds them as numpy arrays — packing there is free and
+    # the checkpoint + fused 64->1 exchange then carry ~n_partitions rows
+    # instead of millions; SPARK_GRAFT_BOUNDARY_BLOB=0 restores the row feed)
+    blob = os.environ.get("SPARK_GRAFT_BOUNDARY_BLOB", "1") != "0"
+    fills = compute_fills_df(
+        split, fill_rule, boundary_rule=rule, boundary_blob=blob
+    )
     # splitting never leaves the input bbox, so the merge-stage bounds cap the
     # coordinates of every downstream row — extract can skip its max scan
     cmax_hint = max(abs(bounds[1]), abs(bounds[2]), abs(bounds[3]), abs(bounds[4]))
@@ -1367,6 +1441,7 @@ def distributed_overlay(
         # post-split row count UPPER BOUND >= boundary rows: when it already
         # clears the fused cap, extract skips its count job (one barrier less)
         n_edges_hint=getattr(split, "_ioverlay_n_segments", None),
+        packed_boundary=blob,
     )
 
 

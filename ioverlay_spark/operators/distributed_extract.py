@@ -643,6 +643,81 @@ def _fused_extract_arrays(
     )
 
 
+def _blob_boundary_arrays(tbl: pa.Table):
+    """Parse BOUNDARY_BLOB_SCHEMA rows (fill-stage in-kernel pack, see
+    distributed._fill_strips_sorted) back to (ax, ay, bx, by, fill) numpy
+    arrays — np.frombuffer memcpy per row, one concatenate per column.
+    Word sizes may differ per row (per-partition narrowing); concatenate
+    upcasts, then a final astype pins int64."""
+    cnts = tbl.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    wcs = tbl.column("wc").to_numpy(zero_copy_only=False)
+    xyf = tbl.column("xyf")
+    axs, ays, bxs, bys, fls = [], [], [], [], []
+    for r in range(len(tbl)):
+        n = int(cnts[r])
+        w = int(wcs[r])
+        buf = xyf[r].as_py()
+        cdt = np.int32 if w == 4 else np.int64
+        xy = np.frombuffer(buf, dtype=cdt, count=4 * n)
+        axs.append(xy[:n])
+        ays.append(xy[n : 2 * n])
+        bxs.append(xy[2 * n : 3 * n])
+        bys.append(xy[3 * n :])
+        fls.append(np.frombuffer(buf, dtype=np.uint8, offset=4 * n * w, count=n))
+    if not axs:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z, np.zeros(0, np.uint8)
+    return (
+        np.concatenate(axs).astype(np.int64, copy=False),
+        np.concatenate(ays).astype(np.int64, copy=False),
+        np.concatenate(bxs).astype(np.int64, copy=False),
+        np.concatenate(bys).astype(np.int64, copy=False),
+        np.concatenate(fls),
+    )
+
+
+def _fused_extract_blob_iter(rule: OverlayRule, options: OverlayOptions):
+    """Single-task fused extract over BOUNDARY_BLOB_SCHEMA rows: unpack the
+    blobs (memcpy) and run the shared fused CC+walk kernel on the arrays."""
+
+    def it(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        if not len(tbl):
+            return
+        ax, ay, bx, by, fl = _blob_boundary_arrays(tbl)
+        if not len(ax):
+            return
+        yield from _fused_extract_arrays(rule, options, ax, ay, bx, by, fl).to_batches()
+
+    return it
+
+
+def _blob_rows_iter(batches):
+    """Unpack BOUNDARY_BLOB_SCHEMA rows back to the per-segment row feed
+    (ax, ay, bx, by, fill) — the giant-boundary fallback where the salted
+    multi-task extract needs plain rows."""
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        if not len(tbl):
+            continue
+        ax, ay, bx, by, fl = _blob_boundary_arrays(tbl)
+        if not len(ax):
+            continue
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ax),
+                pa.array(ay),
+                pa.array(bx),
+                pa.array(by),
+                pa.array(fl.astype(np.int32)),
+            ],
+            names=["ax", "ay", "bx", "by", "fill"],
+        )
+
+
 _PACKED_BOUNDARY_SCHEMA = "n long, blob binary"
 
 
@@ -910,6 +985,7 @@ def extract_shapes_df(
     pre_filtered: bool = False,
     cmax_hint: int | None = None,
     n_edges_hint: int | None = None,
+    packed_boundary: bool = False,
 ) -> DataFrame:
     """Full distributed extraction. Returns rings with resolved shape ids:
     (shape_id, ring_id, is_hole, pts_x, pts_y, area2).
@@ -920,17 +996,27 @@ def extract_shapes_df(
 
     cmax_hint: an UPPER BOUND on |coordinates| when the caller knows one (the
     overlay pipeline's global bbox — splitting never leaves it); saves the
-    per-row max scan in the metadata job (count-only agg instead)."""
+    per-row max scan in the metadata job (count-only agg instead).
+
+    packed_boundary: fills is BOUNDARY_BLOB_SCHEMA rows (compute_fills_df
+    boundary_blob=True, implies pre_filtered semantics) — the checkpoint and
+    the fused 64->1 exchange carry one binary blob per fill partition instead
+    of per-segment rows, and the metadata job is a sum/max over those rows."""
     from ..session import audit_desc
 
+    if packed_boundary and not pre_filtered:
+        raise ValueError("packed_boundary requires pre_filtered fills")
     audit_desc(fills.sparkSession, "fill+boundary:ckpt")
-    b = (
-        (fills if pre_filtered else boundary_segments_df(fills, rule))
-        # extraction reads only coordinates + fill bits: prune before the
-        # checkpoint so subj/clip never enter it or the downstream shuffles
-        .select("ax", "ay", "bx", "by", "fill")
-        .localCheckpoint(eager=True)
-    )
+    if packed_boundary:
+        b = fills.localCheckpoint(eager=True)
+    else:
+        b = (
+            (fills if pre_filtered else boundary_segments_df(fills, rule))
+            # extraction reads only coordinates + fill bits: prune before the
+            # checkpoint so subj/clip never enter it or the downstream shuffles
+            .select("ax", "ay", "bx", "by", "fill")
+            .localCheckpoint(eager=True)
+        )
 
     # one metadata job: coordinate cap for node-id packing AND the edge count
     # (reused as the CC dispatch bound, saving its limit-probe job).
@@ -943,6 +1029,14 @@ def extract_shapes_df(
     ):
         n_edges = n_edges_hint
         cmax = cmax_hint
+    elif packed_boundary:
+        # blob metadata rides as columns: the agg touches ~n_partitions rows
+        audit_desc(fills.sparkSession, "extract:blob meta")
+        meta = b.agg(
+            F.max("cmax").alias("m"), F.sum("cnt").alias("n")
+        ).first()
+        cmax = cmax_hint if cmax_hint is not None else meta["m"]
+        n_edges = int(meta["n"] or 0)
     elif cmax_hint is not None:
         audit_desc(fills.sparkSession, "extract:count")
         n_edges = b.count()
@@ -958,6 +1052,29 @@ def extract_shapes_df(
             F.count("*").alias("n"),
         ).first()
         cmax, n_edges = meta["m"], int(meta["n"])
+    if packed_boundary and n_edges <= _FUSED_EXTRACT_CAP:
+        # blob feed straight into the fused task: the exchange moves
+        # ~n_partitions binary rows (same payload bytes as the row feed, none
+        # of the per-row serialization); the task unpacks via np.frombuffer
+        audit_desc(fills.sparkSession, "extract:fused blob walk+ckpt")
+        if _FUSED_DRIVER_SIDE:
+            ax, ay, bx, by, fl = _blob_boundary_arrays(b.toArrow())
+            out = _fused_extract_arrays(rule, options, ax, ay, bx, by, fl)
+            rings = fills.sparkSession.createDataFrame(out).localCheckpoint(eager=True)
+            return _bind_and_project(rings)
+        rings = (
+            b.repartition(1)
+            .mapInArrow(_fused_extract_blob_iter(rule, options), schema=RINGS_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
+        return _bind_and_project(rings)
+    if packed_boundary:
+        # giant boundary set: unpack the blobs back to the per-segment row
+        # feed for the salted multi-task plan below (rare — the fused cap is
+        # 8 M edges; the unpack is a memcpy map over the checkpointed blobs)
+        b = b.mapInArrow(
+            _blob_rows_iter, schema="ax long, ay long, bx long, by long, fill int"
+        )
     if n_edges <= _FUSED_EXTRACT_CAP:
         # small boundary set: ONE task does CC + walk fused (node ids, labels
         # and the vectorized component walk all in-kernel) — the boundary rows

@@ -383,6 +383,54 @@ def test_fused_extract_packed_matches_row_feed(spark, board, monkeypatch):
         assert len(packed) == 2
 
 
+def test_boundary_blob_feed_matches_row_feed(spark, monkeypatch):
+    """The fill stage's in-kernel boundary blob pack (distributed_overlay
+    default, BOUNDARY_BLOB_SCHEMA) must produce exactly the rings of the
+    per-segment row feed — on the fused path, on the wide-coordinate int64
+    blob layout, and through the giant-boundary fallback that unpacks blobs
+    back to rows for the salted multi-task plan."""
+    import ioverlay_spark.operators.distributed_extract as dx
+    from ioverlay_spark.options import FillRule, OverlayRule
+    from ioverlay_spark.operators.distributed import (
+        contours_to_segments_df,
+        distributed_overlay,
+    )
+
+    def canon(pdf):
+        rows = []
+        for r in pdf.itertuples():
+            pts = sorted(zip(r.pts_x, r.pts_y))
+            rows.append((bool(r.is_hole), int(r.area2), tuple(pts)))
+        return sorted(rows)
+
+    n, a = 12, 20
+    subj, clip = lines_net(n, a)
+    for shift in (0, 1 << 40):  # int32 blob words, then the wide int64 layout
+        s_s = [[(x + shift, y + shift) for (x, y) in r] for r in subj]
+        c_s = [[(x + shift, y + shift) for (x, y) in r] for r in clip]
+        df = spark.createDataFrame(
+            rings_to_contours_rows(s_s, c_s), ["role", "cid", "pts_x", "pts_y"]
+        )
+        segs = contours_to_segments_df(spark, df)
+        monkeypatch.setenv("SPARK_GRAFT_BOUNDARY_BLOB", "0")
+        row_form = distributed_overlay(
+            segs, OverlayRule.INTERSECT, FillRule.EVEN_ODD, force_distributed=True
+        ).toPandas()
+        monkeypatch.setenv("SPARK_GRAFT_BOUNDARY_BLOB", "1")
+        blob = distributed_overlay(
+            segs, OverlayRule.INTERSECT, FillRule.EVEN_ODD, force_distributed=True
+        ).toPandas()
+        # giant-boundary fallback: blobs unpack to rows for the salted plan
+        monkeypatch.setattr(dx, "_FUSED_EXTRACT_CAP", 0)
+        blob_salted = distributed_overlay(
+            segs, OverlayRule.INTERSECT, FillRule.EVEN_ODD, force_distributed=True
+        ).toPandas()
+        monkeypatch.undo()
+        assert canon(blob) == canon(row_form)
+        assert canon(blob_salted) == canon(row_form)
+        assert len(blob) == n * n
+
+
 def lines_net(n: int, a: int = 20):
     """The reference's lines_net scenario (performance/rust_app many_lines_x/y):
     n vertical strips (subject) x n horizontal strips (clip), width a/2 at
