@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     BooleanType,
     IntegerType,
     LongType,
@@ -273,8 +274,13 @@ def _extract_rings_core(
     fills_arr: np.ndarray,
     salt: int,
     threads: int = 1,
+    flat_out: bool = False,
 ) -> pa.Table:
     """Shared walk + Arrow emission over (component-labeled) boundary segments.
+
+    flat_out=True returns the flat numpy buffers
+    (comp, hole, a2, anchor_x, anchor_y, lens, x_vals, y_vals) instead of the
+    assembled Arrow table — the ring-blob fused output packs them directly.
 
     threads > 1 splits the components into contiguous chunks walked on a
     thread pool — exact: components never share an endpoint, so every
@@ -553,6 +559,8 @@ def _extract_rings_core(
             y_vals = np.concatenate(
                 [y_vals] + [np.asarray(p, np.int64) for p in out_ptsy]
             )
+        if flat_out:
+            return comp_out, hole_out, a2_out, ax_out, ay_out, lens, x_vals, y_vals
         nring = len(comp_out)
         if nring == 0:
             return _RINGS_ARROW_SCHEMA.empty_table()
@@ -614,6 +622,7 @@ def _fused_extract_arrays(
     bx: np.ndarray,
     by: np.ndarray,
     fills_arr: np.ndarray,
+    flat_out: bool = False,
 ) -> pa.Table:
     """Array-form body of the fused single-task extract (shared by the Arrow
     row feed and the packed-blob feed)."""
@@ -639,7 +648,7 @@ def _fused_extract_arrays(
     ) or min(8, os.cpu_count() or 1)
     return _extract_rings_core(
         rule, options, comp_of_u, ax, ay, bx, by, fills_arr, 0,
-        threads=threads,
+        threads=threads, flat_out=flat_out,
     )
 
 
@@ -693,6 +702,135 @@ def _fused_extract_blob_iter(rule: OverlayRule, options: OverlayOptions):
         yield from _fused_extract_arrays(rule, options, ax, ay, bx, by, fl).to_batches()
 
     return it
+
+
+# fused-extract ring output as per-chunk blobs: the single fused task emits
+# ~RING_BLOB_CHUNKS binary rows instead of millions of list-typed ring rows,
+# so the Arrow->JVM row conversion and the rings checkpoint write happen on a
+# parallel unpack stage instead of serializing on the one task.
+RING_BLOB_SCHEMA = StructType(
+    [
+        StructField("cnt", LongType()),    # rings in this chunk
+        StructField("npts", LongType()),   # total points in this chunk
+        StructField("wc", IntegerType()),  # pts word size: 4 or 8
+        StructField("base", LongType()),   # first ring_id of the chunk
+        StructField("meta", BinaryType()),  # comp|a2|anchx|anchy i64*4cnt, lens i32, hole u8
+        StructField("pts", BinaryType()),   # x_vals|y_vals (npts each, wc-byte words)
+    ]
+)
+
+_RING_BLOB_CHUNKS = int(os.environ.get("SPARK_GRAFT_RING_BLOB_CHUNKS", "64"))
+
+
+def _flat_rings_to_blob_batches(flat, chunks: int):
+    """Chunk the walk's flat ring buffers on ring boundaries and yield
+    RING_BLOB batches (tobytes memcpy per chunk)."""
+    comp_out, hole_out, a2_out, ax_out, ay_out, lens, x_vals, y_vals = flat
+    nring = len(comp_out)
+    if nring == 0:
+        return
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    cmax = max(
+        int(np.abs(x_vals).max(initial=0)), int(np.abs(y_vals).max(initial=0))
+    )
+    cdt = np.int32 if cmax < 2**31 else np.int64
+    cuts = np.unique(np.linspace(0, nring, min(chunks, nring) + 1).astype(np.int64))
+    cols = {k: [] for k in ("cnt", "npts", "wc", "base", "meta", "pts")}
+    for r0, r1 in zip(cuts[:-1].tolist(), cuts[1:].tolist()):
+        o0, o1 = int(offs[r0]), int(offs[r1])
+        meta = (
+            b"".join(
+                a[r0:r1].astype(np.int64, copy=False).tobytes()
+                for a in (comp_out, a2_out, ax_out, ay_out)
+            )
+            + lens[r0:r1].astype(np.int32, copy=False).tobytes()
+            + hole_out[r0:r1].astype(np.uint8).tobytes()
+        )
+        pts = (
+            x_vals[o0:o1].astype(cdt, copy=False).tobytes()
+            + y_vals[o0:o1].astype(cdt, copy=False).tobytes()
+        )
+        cols["cnt"].append(r1 - r0)
+        cols["npts"].append(o1 - o0)
+        cols["wc"].append(cdt().itemsize)
+        cols["base"].append(r0 + 1)
+        cols["meta"].append(meta)
+        cols["pts"].append(pts)
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.asarray(cols["cnt"], np.int64)),
+            pa.array(np.asarray(cols["npts"], np.int64)),
+            pa.array(np.asarray(cols["wc"], np.int32)),
+            pa.array(np.asarray(cols["base"], np.int64)),
+            pa.array(cols["meta"], type=pa.binary()),
+            pa.array(cols["pts"], type=pa.binary()),
+        ],
+        names=["cnt", "npts", "wc", "base", "meta", "pts"],
+    )
+
+
+def _fused_extract_ringblob_iter(rule: OverlayRule, options: OverlayOptions):
+    """Fused CC+walk over BOUNDARY_BLOB rows, emitting RING_BLOB chunks."""
+
+    def it(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        if not len(tbl):
+            return
+        ax, ay, bx, by, fl = _blob_boundary_arrays(tbl)
+        if not len(ax):
+            return
+        flat = _fused_extract_arrays(rule, options, ax, ay, bx, by, fl, flat_out=True)
+        yield from _flat_rings_to_blob_batches(flat, _RING_BLOB_CHUNKS)
+
+    return it
+
+
+def _ringblob_rows_iter(batches):
+    """Parallel unpack of RING_BLOB chunks back to RINGS_SCHEMA rows — runs
+    after a repartition so the list-array build + row conversion + checkpoint
+    write spread across the executor instead of the one fused task."""
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        for r in range(len(tbl)):
+            cnt = int(tbl.column("cnt")[r].as_py())
+            npts = int(tbl.column("npts")[r].as_py())
+            w = int(tbl.column("wc")[r].as_py())
+            base = int(tbl.column("base")[r].as_py())
+            meta = tbl.column("meta")[r].as_py()
+            pts = tbl.column("pts")[r].as_py()
+            comp = np.frombuffer(meta, np.int64, count=cnt)
+            a2 = np.frombuffer(meta, np.int64, count=cnt, offset=8 * cnt)
+            anx = np.frombuffer(meta, np.int64, count=cnt, offset=16 * cnt)
+            any_ = np.frombuffer(meta, np.int64, count=cnt, offset=24 * cnt)
+            lens = np.frombuffer(meta, np.int32, count=cnt, offset=32 * cnt)
+            hole = np.frombuffer(meta, np.uint8, count=cnt, offset=36 * cnt)
+            cdt = np.int32 if w == 4 else np.int64
+            xv = np.frombuffer(pts, cdt, count=npts).astype(np.int64, copy=False)
+            yv = np.frombuffer(pts, cdt, offset=npts * w, count=npts).astype(
+                np.int64, copy=False
+            )
+            offs = pa.array(
+                np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(comp),
+                    pa.array(base + np.arange(cnt, dtype=np.int64)),
+                    pa.array(hole.astype(bool)),
+                    pa.ListArray.from_arrays(offs, pa.array(xv)),
+                    pa.ListArray.from_arrays(offs, pa.array(yv)),
+                    pa.array(a2),
+                    pa.array(anx),
+                    pa.array(any_),
+                ],
+                names=[
+                    "component", "ring_id", "is_hole", "pts_x", "pts_y",
+                    "area2", "anchor_x", "anchor_y",
+                ],
+            )
 
 
 def _blob_rows_iter(batches):
@@ -1061,6 +1199,30 @@ def extract_shapes_df(
             ax, ay, bx, by, fl = _blob_boundary_arrays(b.toArrow())
             out = _fused_extract_arrays(rule, options, ax, ay, bx, by, fl)
             rings = fills.sparkSession.createDataFrame(out).localCheckpoint(eager=True)
+            return _bind_and_project(rings)
+        if os.environ.get("SPARK_GRAFT_RING_BLOB", "0") == "1":
+            # A/B toggle, default OFF: ring output leaves the fused task as
+            # ~64 binary chunk rows; a repartitioned unpack stage rebuilds the
+            # ring rows so the Arrow->JVM row conversion + checkpoint write
+            # parallelize instead of serializing on the one fused task.
+            # Measured NOT a win at lines_net n=512 (22.1/37.5 s vs 15.2/21.7 s
+            # same-window) and a wash at n=1024 (43.2/71.8 vs 45.6/65.0): the
+            # extra blob shuffle + per-chunk rebuild costs about what the
+            # parallel conversion saves, because the plain path's single-task
+            # Arrow emission is already columnar and the checkpoint write
+            # overlaps the walk's batch yield. Kept for re-measurement on
+            # healthy windows (the differential below covers it).
+            n_part = int(fills.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            rings = (
+                b.repartition(1)
+                .mapInArrow(
+                    _fused_extract_ringblob_iter(rule, options),
+                    schema=RING_BLOB_SCHEMA,
+                )
+                .repartition(min(n_part, _RING_BLOB_CHUNKS))
+                .mapInArrow(_ringblob_rows_iter, schema=RINGS_SCHEMA)
+                .localCheckpoint(eager=True)
+            )
             return _bind_and_project(rings)
         rings = (
             b.repartition(1)

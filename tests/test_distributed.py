@@ -420,6 +420,13 @@ def test_boundary_blob_feed_matches_row_feed(spark, monkeypatch):
         blob = distributed_overlay(
             segs, OverlayRule.INTERSECT, FillRule.EVEN_ODD, force_distributed=True
         ).toPandas()
+        # env-gated ring-blob fused OUTPUT (chunked binary rings + parallel
+        # unpack stage) must emit identical rings
+        monkeypatch.setenv("SPARK_GRAFT_RING_BLOB", "1")
+        ring_blob = distributed_overlay(
+            segs, OverlayRule.INTERSECT, FillRule.EVEN_ODD, force_distributed=True
+        ).toPandas()
+        monkeypatch.delenv("SPARK_GRAFT_RING_BLOB")
         # giant-boundary fallback: blobs unpack to rows for the salted plan
         monkeypatch.setattr(dx, "_FUSED_EXTRACT_CAP", 0)
         blob_salted = distributed_overlay(
@@ -427,6 +434,7 @@ def test_boundary_blob_feed_matches_row_feed(spark, monkeypatch):
         ).toPandas()
         monkeypatch.undo()
         assert canon(blob) == canon(row_form)
+        assert canon(ring_blob) == canon(row_form)
         assert canon(blob_salted) == canon(row_form)
         assert len(blob) == n * n
 
