@@ -580,10 +580,87 @@ def _windings_segtree(
     return wind_s, wind_c
 
 
+def _windings_segtree_strips(
+    segs: Segments, k: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Strip-parallel _windings_segtree: k independent segment trees over
+    x-strips, run on threads.
+
+    Correctness rests on the same subset-safety the distributed x-strip fill
+    uses: a downward ray at doubled-x Xi crosses segment t iff
+    2*ax[t] <= Xi < 2*bx[t], so the EXACT winding of every query whose Xi lies
+    in strip [lo, hi) is determined by the subset of segments whose doubled
+    x-interval intersects that strip (2*bx > lo and 2*ax < hi) — each strip's
+    tree answers its own queries with no cross-strip information needed.
+    Borrowed members (x-interval overlaps the strip, midpoint outside) get
+    queried too; their answers are DISCARDED — their own strip computes them
+    against the full relevant subset. Strips split at query-midpoint quantiles
+    (balanced query load); the duplication guard returns None (caller falls
+    back to the single tree) when long segments would make Σ|subset| > 2.5 n —
+    per-strip trees are smaller AND everything (sort, decomposition, bisection)
+    runs in parallel, vs the single tree that threads only its bisection loop.
+    Bit-identical to the single tree (same predicate; differential-tested)."""
+    n = len(segs)
+    ax2 = 2 * segs.ax
+    bx2 = 2 * segs.bx
+    Xi = segs.ax + segs.bx
+    qsort = np.sort(Xi)
+    edges = np.unique(qsort[np.arange(1, k) * n // k])
+    if len(edges) == 0:
+        return None
+    sid = np.searchsorted(edges, Xi, side="right")
+    n_strips = len(edges) + 1
+    # duplication guard: subset size per strip via sorted-endpoint counting
+    sa = np.sort(ax2)
+    sb = np.sort(bx2)
+    lo_e = np.concatenate([[np.iinfo(np.int64).min], edges])
+    hi_e = np.concatenate([edges, [np.iinfo(np.int64).max]])
+    n_over = (
+        np.searchsorted(sa, hi_e, side="left")  # ax2 < hi
+        - np.searchsorted(sb, lo_e, side="right")  # minus bx2 <= lo
+    )
+    if int(np.maximum(n_over, 0).sum()) > int(2.5 * n):
+        return None
+    wind_s = np.zeros(n, dtype=np.int64)
+    wind_c = np.zeros(n, dtype=np.int64)
+
+    def work(s: int):
+        sub = np.flatnonzero(
+            ((bx2 > lo_e[s]) & (ax2 < hi_e[s])) | (sid == s)
+        )
+        if not len(sub):
+            return None
+        ws, wc = _windings_segtree(segs.take(sub), threads=1)
+        keep = sid[sub] == s
+        return sub[keep], ws[keep], wc[keep]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(k, n_strips)) as ex:
+        for part in ex.map(work, range(n_strips)):
+            if part is None:
+                continue
+            idx, ws, wc = part
+            wind_s[idx] = ws
+            wind_c[idx] = wc
+    return wind_s, wind_c
+
+
 def compute_fills_segtree(
     segs: Segments, fill_rule: FillRule, threads: int | None = None
 ) -> np.ndarray:
     """Segment-tree fill (see _windings_segtree): vectorized, subset-safe."""
+    # one-shot scalar path (threads unset/≥2): strip-parallel trees when the
+    # job is big enough to amortize the pool (the Spark strip fill passes
+    # threads=1 and keeps the single tree — each task owns one core there)
+    k = threads if threads and threads > 0 else (
+        int(os.environ.get("SPARK_GRAFT_FILL_THREADS", "0"))
+        or (min(8, os.cpu_count() or 1) if len(segs) >= 48_000 else 1)
+    )
+    if k > 1 and len(segs) >= 48_000:
+        res = _windings_segtree_strips(segs, k)
+        if res is not None:
+            return _fill_bits(segs, res[0], res[1], fill_rule)
     wind_s, wind_c = _windings_segtree(segs, threads=threads)
     return _fill_bits(segs, wind_s, wind_c, fill_rule)
 

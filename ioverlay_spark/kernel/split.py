@@ -159,7 +159,8 @@ def cross_pair(ti, tj, radius):
 
 
 def _candidate_pairs_grid(
-    segs: Segments, ymin: np.ndarray, ymax: np.ndarray, est_x: int
+    segs: Segments, ymin: np.ndarray, ymax: np.ndarray, est_x: int,
+    threads: int | None = None,
 ) -> np.ndarray | None:
     """Exact bbox-overlap candidate pairs via grid-cover co-cell pairing.
 
@@ -258,7 +259,9 @@ def _candidate_pairs_grid(
     # thread (the mask work releases the GIL, see below) while keeping each
     # chunk's materialized index arrays bounded (~2M rows max either way)
     env_k = int(os.environ.get("SPARK_GRAFT_FILL_THREADS", "0"))
-    if env_k > 0:
+    if threads is not None and threads > 0:
+        k = threads  # caller already runs inside a pool (strip-parallel path)
+    elif env_k > 0:
         k = env_k
     elif ptot >= 600_000:
         k = min(8, os.cpu_count() or 1)
@@ -320,6 +323,78 @@ def _candidate_pairs_grid(
 def _candidate_pairs(segs: Segments) -> np.ndarray:
     """All index pairs (i<j) with overlapping bounding boxes.
 
+    Dispatcher: big jobs run x-strip-parallel (k independent enumerations on
+    threads, emit-once across strips via the bbox-intersection min-corner rule
+    — same idea as the within-grid emit-once below); everything else runs the
+    single-threaded core."""
+    n = len(segs)
+    if n >= 48_000:
+        k = int(os.environ.get("SPARK_GRAFT_FILL_THREADS", "0")) or min(
+            8, os.cpu_count() or 1
+        )
+        if k > 1:
+            out = _candidate_pairs_strips(segs, k)
+            if out is not None:
+                return out
+    return _candidate_pairs_core(segs)
+
+
+def _candidate_pairs_strips(segs: Segments, k: int) -> np.ndarray | None:
+    """Strip-parallel bbox-overlap pair enumeration.
+
+    Segments are assigned to every x-strip their bbox x-range overlaps
+    (borrowed members), each strip enumerates bbox-overlap pairs of its subset
+    with the single-threaded core, and a pair is KEPT only by the strip
+    containing max(ax_i, ax_j) — the x of its bbox-intersection min corner,
+    which lies in both bboxes, so exactly one strip keeps it and no pair is
+    missed (both members overlap that strip). Returns None (caller falls back)
+    when long segments would make Σ|subset| > 2.5 n. Pair SET identical to the
+    core's (order differs; callers treat pairs as a set — the grid path already
+    returns cell order)."""
+    n = len(segs)
+    ax, bx = segs.ax, segs.bx
+    qs = np.sort(ax)
+    edges = np.unique(qs[np.arange(1, k) * n // k])
+    if len(edges) == 0:
+        return None
+    lo_e = np.concatenate([[np.iinfo(np.int64).min], edges])
+    hi_e = np.concatenate([edges, [np.iinfo(np.int64).max]])
+    sa = qs
+    sb = np.sort(bx)
+    n_over = np.searchsorted(sa, hi_e, side="left") - np.searchsorted(
+        sb, lo_e, side="left"
+    )
+    if int(np.maximum(n_over, 0).sum()) > int(2.5 * n):
+        return None
+
+    def work(s: int) -> np.ndarray | None:
+        # bbox-x overlap with [lo, hi): ax < hi and bx >= lo
+        sub = np.flatnonzero((ax < hi_e[s]) & (bx >= lo_e[s]))
+        if len(sub) < 2:
+            return None
+        pr = _candidate_pairs_core(segs.take(sub), threads=1)
+        if not len(pr):
+            return None
+        gi = sub[pr[:, 0]]
+        gj = sub[pr[:, 1]]
+        mx = np.maximum(ax[gi], ax[gj])
+        keep = (mx >= lo_e[s]) & (mx < hi_e[s])
+        if not keep.any():
+            return None
+        return np.stack([gi[keep], gj[keep]], axis=1)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(k, len(edges) + 1)) as ex:
+        chunks = [c for c in ex.map(work, range(len(edges) + 1)) if c is not None]
+    if not chunks:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.concatenate(chunks, axis=0)
+
+
+def _candidate_pairs_core(segs: Segments, threads: int | None = None) -> np.ndarray:
+    """All index pairs (i<j) with overlapping bounding boxes.
+
     x-sweep pruning mirrors the reference list-split break on xj.a.x > xi.b.x
     (iOverlay/src/split/solver_list.rs:36-44); y-range masks vectorized.
     Precondition: segs sorted by (a, b)."""
@@ -354,7 +429,7 @@ def _candidate_pairs(segs: Segments) -> np.ndarray:
         # (iOverlay/src/core/solver.rs is_fragmentation_required) and of the
         # distributed cell cover; it returns an exact bbox-overlap pair set or
         # None when the grid would not beat the x-window
-        g = _candidate_pairs_grid(segs, ymin, ymax, int(cum[-1]))
+        g = _candidate_pairs_grid(segs, ymin, ymax, int(cum[-1]), threads=threads)
         if g is not None:
             return g
     out = []

@@ -123,3 +123,88 @@ def test_extract_core_threaded_matches_single(rule):
         fills.copy(), 0, threads=8,
     )
     assert canon(t1) == canon(t8)
+
+
+def _spiralish(n: int) -> Segments:
+    """Spiral-band-like input: short mixed-length chords spread over x, big
+    enough to engage the strip-parallel paths (n >= 48k segments)."""
+    import math
+
+    pts = []
+    a, r = 0.0, 100.0
+    p0 = (0.0, 0.0)
+    for i in range(n):
+        rr = r * (1.2 if i % 2 == 0 else 0.8)
+        p = (rr * math.cos(a), rr * math.sin(a))
+        pts.append(p0)
+        pts.append(p)
+        a += 100.0 / r
+        r = 100.0 * (1.0 + a / (2 * math.pi))
+        p0 = p
+    arr = np.asarray(pts)
+    arr = ((arr - arr.min()) * 1000).astype(np.int64)
+    ring = arr.reshape(-1, 2)
+    segs = sort_and_merge(build_segments([ring], True))
+    return split_segments(segs)
+
+
+def test_segtree_strips_matches_single_tree():
+    """The x-strip-parallel segtree fill (one independent tree per strip,
+    borrowed members, in-strip results kept) is bit-identical to the single
+    tree — subset-safety of the midpoint-ray semantics."""
+    from ioverlay_spark.kernel.fill import _windings_segtree_strips
+
+    segs = _spiralish(30_000)
+    assert len(segs) >= 48_000
+    w1 = _windings_segtree(segs, threads=1)
+    for k in (2, 5, 8):
+        ws = _windings_segtree_strips(segs, k)
+        assert ws is not None
+        assert np.array_equal(w1[0], ws[0]) and np.array_equal(w1[1], ws[1])
+
+
+def test_segtree_strips_duplication_fallback():
+    """Long horizontal chords overlap every strip — the duplication guard must
+    return None (caller falls back to the single tree) instead of multiplying
+    the work."""
+    from ioverlay_spark.kernel.fill import _windings_segtree_strips
+
+    n = 50_000
+    ii = np.arange(n, dtype=np.int64)
+    segs = Segments(
+        ii, ii, ii + (1 << 30), ii + 1,
+        np.ones(n, dtype=np.int64), np.zeros(n, dtype=np.int64),
+    )
+    assert _windings_segtree_strips(segs, 8) is None
+
+
+def test_candidate_pairs_strips_matches_core():
+    """Strip-parallel bbox-pair enumeration returns exactly the core's pair
+    SET (emit-once across strips via the bbox-intersection min-corner rule)."""
+    from ioverlay_spark.kernel import split as sp
+
+    def canon(p):
+        if not len(p):
+            return p
+        return p[np.lexsort((p[:, 1], p[:, 0]))]
+
+    segs = _spiralish(30_000)
+    pc = canon(sp._candidate_pairs_core(segs))
+    for k in (2, 8):
+        ps = sp._candidate_pairs_strips(segs, k)
+        assert ps is not None
+        assert np.array_equal(pc, canon(ps))
+    # randomized mixed-length soup (verticals, duplicates, skew)
+    rng = np.random.default_rng(11)
+    n = 60_000
+    ax = rng.integers(0, 1 << 20, n)
+    ln = rng.integers(0, 1 << 12, n)
+    ay = rng.integers(0, 1 << 20, n)
+    s = Segments(
+        ax, ay, ax + ln, ay + rng.integers(-(1 << 8), 1 << 8, n),
+        np.ones(n, dtype=np.int64), np.zeros(n, dtype=np.int64),
+    )
+    s = s.take(np.lexsort((s.by, s.bx, s.ay, s.ax)))
+    pc = canon(sp._candidate_pairs_core(s))
+    ps = sp._candidate_pairs_strips(s, 8)
+    assert ps is not None and np.array_equal(pc, canon(ps))
