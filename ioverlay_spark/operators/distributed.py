@@ -713,6 +713,16 @@ def split_segments_df(
             # for the fills stage's strip sizing without a count job
             n_hint = pre_count + n_marks
             segs._ioverlay_strip_mx2_edges = strip_edges
+            if (
+                not checkpoint_last
+                and checkpoint_dir is None
+                and packed_round
+                and not has_col
+                and not extra_aggs
+            ):
+                # fill-stage fusion inputs (compute_fills_df): both are
+                # checkpointed, so the fused apply+pack plan stays shallow
+                segs._ioverlay_apply_inputs = (segs_round, marks)
             break
     if n_hint is None:
         n_hint = last_n
@@ -914,65 +924,132 @@ def _pack_strips_iter(edges):
                 np.int64, copy=False
             )
 
-        ax, ay, bx, by = col("ax"), col("ay"), col("bx"), col("by")
-        subj, clip = col("subj"), col("clip")
-        s_lo = np.searchsorted(E, 2 * ax, side="right")
-        s_hi = np.searchsorted(E, 2 * bx, side="right")
-        s_mid = np.searchsorted(E, ax + bx, side="right")
-        copies = s_hi - s_lo + 1
-        total = int(copies.sum())
-        rep = np.repeat(np.arange(len(ax), dtype=np.int64), copies)
-        starts = np.zeros(len(ax), dtype=np.int64)
-        np.cumsum(copies[:-1], out=starts[1:])
-        strip = s_lo[rep] + (np.arange(total, dtype=np.int64) - starts[rep])
-        home = strip == s_mid[rep]
-        order = np.argsort(strip, kind="stable")
-        rep = rep[order]
-        strip_s = strip[order]
-        home = home[order]
-        # per-partition narrowing by the ACTUAL values (no global gate needed)
-        cmax = max(
-            int(np.abs(a).max(initial=0)) for a in (ax, ay, bx, by)
-        ) if len(ax) else 0
-        wmax = max(
-            int(np.abs(subj).max(initial=0)), int(np.abs(clip).max(initial=0))
-        ) if len(ax) else 0
-        cdt = np.int32 if cmax < 2**31 else np.int64
-        wdt = np.int32 if wmax < 2**31 else np.int64
-        AX = ax[rep].astype(cdt, copy=False)
-        AY = ay[rep].astype(cdt, copy=False)
-        BX = bx[rep].astype(cdt, copy=False)
-        BY = by[rep].astype(cdt, copy=False)
-        SU = subj[rep].astype(wdt, copy=False)
-        CL = clip[rep].astype(wdt, copy=False)
-        HM = home.astype(np.uint8)
-        sb = np.flatnonzero(np.concatenate([[True], strip_s[1:] != strip_s[:-1]]))
-        se = np.append(sb, total)
-        r_strip, r_cnt, r_xy, r_sc, r_hm = [], [], [], [], []
-        for i in range(len(sb)):
-            lo, hi = int(se[i]), int(se[i + 1])
-            r_strip.append(int(strip_s[lo]))
-            r_cnt.append(hi - lo)
-            r_xy.append(
-                np.concatenate([AX[lo:hi], AY[lo:hi], BX[lo:hi], BY[lo:hi]]).tobytes()
-            )
-            r_sc.append(np.concatenate([SU[lo:hi], CL[lo:hi]]).tobytes())
-            r_hm.append(HM[lo:hi].tobytes())
-        k = len(r_strip)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(np.asarray(r_strip, dtype=np.int32)),
-                pa.array(np.asarray(r_cnt, dtype=np.int64)),
-                pa.array(np.full(k, cdt().itemsize, dtype=np.int32)),
-                pa.array(np.full(k, wdt().itemsize, dtype=np.int32)),
-                pa.array(r_xy, type=pa.binary()),
-                pa.array(r_sc, type=pa.binary()),
-                pa.array(r_hm, type=pa.binary()),
-            ],
-            names=["strip", "cnt", "wc", "ww", "xy", "sc", "hm"],
+        yield from _pack_arrays(
+            col("ax"), col("ay"), col("bx"), col("by"),
+            col("subj"), col("clip"), E,
         )
 
     return it
+
+
+def _apply_pack_strips_iter(edges):
+    """FUSED terminal apply + strip pack (mapInArrow): input rows are the
+    pre-split segments LEFT-JOINED with their grouped packed mark keys
+    (`mks: array<bigint>`, the collect_set of apply_marks_df's packed chain
+    key). The chain sort, endpoint filter, explode and direction/count
+    renormalization all run in numpy via the scalar `_apply_marks` kernel
+    (kernel/split.py — the differential-tested vectorized apply), replacing
+    apply_marks_df's JVM array_sort + zip_with + Generate pipeline, which was
+    the dominant cost of the terminal fill job on crossing-dense inputs
+    (lines_net n=1024: the fused apply+fill job spent ~10 of its 13 s in the
+    chain machinery while the python pack+fill kernels cost ~5 s of CPU
+    TOTAL — audits, round 5 closing). The packed key decodes exactly as
+    apply_marks_df does: px = k DIV 2^31 - 2^30, py' = k % 2^31 - 2^30,
+    py = py' when by >= ay else -py'."""
+    import pyarrow.compute as pc
+
+    E = np.asarray(edges, dtype=np.int64)
+    TC = 1 << 31
+    C = 1 << 30
+
+    def it(batches):
+        from ..kernel.segments import Segments
+        from ..kernel.split import _apply_marks
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        if not len(tbl):
+            return
+
+        def col(name):
+            return tbl.column(name).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+
+        ax, ay, bx, by = col("ax"), col("ay"), col("bx"), col("by")
+        subj, clip = col("subj"), col("clip")
+        mks = tbl.column("mks")
+        lens = pc.fill_null(pc.list_value_length(mks), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64, copy=False)
+        segs = Segments(ax, ay, bx, by, subj, clip)
+        if int(lens.sum()) > 0:
+            k = pc.list_flatten(mks).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            mi = np.repeat(np.arange(len(ax), dtype=np.int64), lens)
+            px = k // TC - C
+            pyt = k % TC - C
+            py = np.where(by[mi] >= ay[mi], pyt, -pyt)
+            segs = _apply_marks(segs, (mi, px, py))
+        yield from _pack_arrays(
+            segs.ax, segs.ay, segs.bx, segs.by, segs.subj, segs.clip, E
+        )
+
+    return it
+
+
+def _pack_arrays(ax, ay, bx, by, subj, clip, E):
+    """Shared pack core: strip spans + explode + per-strip blob rows (see
+    _pack_strips_iter). Yields one PACKED_STRIP_SCHEMA RecordBatch."""
+    s_lo = np.searchsorted(E, 2 * ax, side="right")
+    s_hi = np.searchsorted(E, 2 * bx, side="right")
+    s_mid = np.searchsorted(E, ax + bx, side="right")
+    copies = s_hi - s_lo + 1
+    total = int(copies.sum())
+    rep = np.repeat(np.arange(len(ax), dtype=np.int64), copies)
+    starts = np.zeros(len(ax), dtype=np.int64)
+    np.cumsum(copies[:-1], out=starts[1:])
+    strip = s_lo[rep] + (np.arange(total, dtype=np.int64) - starts[rep])
+    home = strip == s_mid[rep]
+    order = np.argsort(strip, kind="stable")
+    rep = rep[order]
+    strip_s = strip[order]
+    home = home[order]
+    # per-partition narrowing by the ACTUAL values (no global gate needed)
+    cmax = max(
+        int(np.abs(a).max(initial=0)) for a in (ax, ay, bx, by)
+    ) if len(ax) else 0
+    wmax = max(
+        int(np.abs(subj).max(initial=0)), int(np.abs(clip).max(initial=0))
+    ) if len(ax) else 0
+    cdt = np.int32 if cmax < 2**31 else np.int64
+    wdt = np.int32 if wmax < 2**31 else np.int64
+    AX = ax[rep].astype(cdt, copy=False)
+    AY = ay[rep].astype(cdt, copy=False)
+    BX = bx[rep].astype(cdt, copy=False)
+    BY = by[rep].astype(cdt, copy=False)
+    SU = subj[rep].astype(wdt, copy=False)
+    CL = clip[rep].astype(wdt, copy=False)
+    HM = home.astype(np.uint8)
+    sb = np.flatnonzero(np.concatenate([[True], strip_s[1:] != strip_s[:-1]]))
+    se = np.append(sb, total)
+    r_strip, r_cnt, r_xy, r_sc, r_hm = [], [], [], [], []
+    for i in range(len(sb)):
+        lo, hi = int(se[i]), int(se[i + 1])
+        r_strip.append(int(strip_s[lo]))
+        r_cnt.append(hi - lo)
+        r_xy.append(
+            np.concatenate([AX[lo:hi], AY[lo:hi], BX[lo:hi], BY[lo:hi]]).tobytes()
+        )
+        r_sc.append(np.concatenate([SU[lo:hi], CL[lo:hi]]).tobytes())
+        r_hm.append(HM[lo:hi].tobytes())
+    k = len(r_strip)
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.asarray(r_strip, dtype=np.int32)),
+            pa.array(np.asarray(r_cnt, dtype=np.int64)),
+            pa.array(np.full(k, cdt().itemsize, dtype=np.int32)),
+            pa.array(np.full(k, wdt().itemsize, dtype=np.int32)),
+            pa.array(r_xy, type=pa.binary()),
+            pa.array(r_sc, type=pa.binary()),
+            pa.array(r_hm, type=pa.binary()),
+        ],
+        names=["strip", "cnt", "wc", "ww", "xy", "sc", "hm"],
+    )
+
 
 
 def _packed_fill_iter(
@@ -1204,6 +1281,37 @@ def compute_fills_df(
         bool(edges)
         and os.environ.get("SPARK_GRAFT_FILL_PACKED", "1") != "0"
     )
+    apply_inputs = getattr(segs, "_ioverlay_apply_inputs", None)
+    if (
+        packed
+        and apply_inputs is not None
+        and os.environ.get("SPARK_GRAFT_APPLY_FUSED", "1") != "0"
+    ):
+        # FUSED terminal apply + pack (see _apply_pack_strips_iter): join the
+        # grouped packed mark keys onto the pre-round segments and run the
+        # chain explode in numpy inside the pack stage, skipping the JVM
+        # array_sort/zip_with/Generate pipeline entirely. The explicit
+        # repartition spreads the fat mks-array rows before the python stage
+        # (AQE would coalesce the join output by BYTES and serialize it).
+        segs_round, marks = apply_inputs
+        grouped = marks.groupBy("_sid").agg(F.collect_set("k").alias("mks"))
+        j = (
+            segs_round.join(grouped, "_sid", "left")
+            .drop("_sid")
+            .repartition(n_part)
+        )
+        return (
+            j.mapInArrow(_apply_pack_strips_iter(edges), schema=PACKED_STRIP_SCHEMA)
+            .repartition(n_part, "strip")
+            .mapInArrow(
+                _packed_fill_iter(fill_rule, boundary_rule, boundary_blob),
+                schema=BOUNDARY_BLOB_SCHEMA
+                if boundary_blob
+                else (
+                    FILL_BOUNDARY_SCHEMA if boundary_rule is not None else FILL_SCHEMA
+                ),
+            )
+        )
     if packed:
         # PACKED strip-chain shuffle (VERDICT r04 #4): the strip span, the
         # explode, and the is_home flag all move python-side into one

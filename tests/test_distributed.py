@@ -563,3 +563,91 @@ def test_narrow_boundary_schema(spark):
     for cap in ((1 << 31) - 1, 1 << 40, None):
         wide = dict(_narrow_boundary(b, cap).dtypes)
         assert wide == dict(b.dtypes)
+
+
+def test_fused_apply_pack_matches_legacy(spark):
+    """The fused terminal apply+pack (_apply_pack_strips_iter: numpy
+    _apply_marks + strip pack inside one mapInArrow, replacing the JVM chain
+    sort/zip_with/Generate pipeline) must produce the identical ring multiset
+    through the full distributed pipeline, and its fill plan must contain no
+    Generate (the chain explode happens in numpy)."""
+    import os
+
+    from ioverlay_spark.options import FillRule, OverlayRule
+    from ioverlay_spark.operators.distributed import (
+        contours_to_segments_df,
+        distributed_overlay,
+    )
+
+    subj, clip = lines_net(24, 20)
+    df = spark.createDataFrame(
+        rings_to_contours_rows(subj, clip), ["role", "cid", "pts_x", "pts_y"]
+    ).localCheckpoint()
+
+    def run(flag):
+        os.environ["SPARK_GRAFT_APPLY_FUSED"] = flag
+        try:
+            out = distributed_overlay(
+                contours_to_segments_df(spark, df),
+                OverlayRule.INTERSECT,
+                FillRule.EVEN_ODD,
+                force_distributed=True,
+            )
+            pdf = out.toPandas()
+        finally:
+            os.environ.pop("SPARK_GRAFT_APPLY_FUSED", None)
+        rings = sorted(
+            (int(a), tuple(sorted(zip(x, y))))
+            for a, x, y in zip(pdf["area2"], pdf["pts_x"], pdf["pts_y"])
+        )
+        return rings
+
+    fused = run("1")
+    legacy = run("0")
+    assert fused == legacy and len(fused) == 24 * 24
+
+
+def test_fused_apply_pack_plan_and_fills(spark):
+    """Fill-level differential on the lazy-terminal path: identical fill
+    multiset fused vs legacy, the fused inputs attach only on the eligible
+    terminal round, and the fused fill plan has no Generate node."""
+    import os
+
+    from ioverlay_spark.options import FillRule, OverlayRule
+    from ioverlay_spark.operators.distributed import (
+        compute_fills_df,
+        contours_to_segments_df,
+        merge_segments_df,
+        split_segments_df,
+        _count_and_bounds,
+    )
+
+    subj, clip = lines_net(48, 20)
+    df = spark.createDataFrame(
+        rings_to_contours_rows(subj, clip), ["role", "cid", "pts_x", "pts_y"]
+    ).localCheckpoint()
+    merged = merge_segments_df(contours_to_segments_df(spark, df)).localCheckpoint()
+    bounds = _count_and_bounds(merged)
+    split = split_segments_df(
+        merged, pre_merged=True, bounds=bounds, checkpoint_last=False
+    )
+    assert getattr(split, "_ioverlay_apply_inputs", None) is not None
+
+    def run(flag):
+        os.environ["SPARK_GRAFT_APPLY_FUSED"] = flag
+        try:
+            fills = compute_fills_df(
+                split, FillRule.EVEN_ODD, boundary_rule=OverlayRule.INTERSECT
+            )
+            plan = fills._jdf.queryExecution().executedPlan().toString()
+            pdf = fills.toPandas()
+        finally:
+            os.environ.pop("SPARK_GRAFT_APPLY_FUSED", None)
+        cols = ["ax", "ay", "bx", "by", "fill"]
+        return plan, sorted(map(tuple, pdf[cols].to_numpy().tolist()))
+
+    plan_f, fused = run("1")
+    plan_l, legacy = run("0")
+    assert fused == legacy and len(fused) > 0
+    assert "Generate" not in plan_f
+    assert "Generate" in plan_l  # the legacy chain explode really was in play
